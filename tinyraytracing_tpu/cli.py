@@ -1,0 +1,89 @@
+"""Command-line driver.
+
+Replaces the reference's interactive stdin prompts (RayTracingOnCPU/
+main.cpp:46-55) with proper flags; defaults mirror the reference constants
+(SAMPLE=256 at main.cpp:13, etc. — see config.py). Output naming follows the
+reference: ``<basedir>/image<SPP>.png`` (main.cpp:26).
+
+Example:
+    tinypt --basedir scenes/test --xml back.xml --obj back.obj \
+           --mtl back.mtl --spp 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tinypt", description=__doc__)
+    p.add_argument("--basedir", required=True, help="scene base directory")
+    p.add_argument("--xml", required=True, help=".xml scene config (relative to basedir unless absolute)")
+    p.add_argument("--obj", required=True, help=".obj mesh path")
+    p.add_argument("--mtl", required=True, help=".mtl material library path")
+    p.add_argument("--spp", type=int, default=256, help="samples per pixel (reference default 256)")
+    p.add_argument("--max-depth", type=int, default=16)
+    p.add_argument("--p-rr", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--width", type=int, default=None, help="override XML image width")
+    p.add_argument("--height", type=int, default=None, help="override XML image height")
+    p.add_argument("--intersector", default="auto", choices=["auto", "brute", "bvh", "pallas"])
+    p.add_argument("--light-sampler", default="ref", choices=["ref", "uniform"])
+    p.add_argument("--specular-weight", default="ref", choices=["ref", "ks"])
+    p.add_argument("--shadow-test", default="mtl", choices=["mtl", "tmin"])
+    p.add_argument("--out", default=None, help="output PNG (default basedir/image<SPP>.png)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import dataclasses
+
+    from tinyraytracing_tpu.config import RenderConfig
+    from tinyraytracing_tpu.models.scene import load_scene
+    from tinyraytracing_tpu.render import render_image
+    from tinyraytracing_tpu.utils.logging import get_logger
+    from tinyraytracing_tpu.utils.timing import Timer
+
+    log = get_logger()
+    rel = lambda p: p if os.path.isabs(p) else os.path.join(args.basedir, p)
+
+    config = RenderConfig(
+        spp=args.spp,
+        max_depth=args.max_depth,
+        p_rr=args.p_rr,
+        intersector=args.intersector,
+        light_sampler=args.light_sampler,
+        specular_weight=args.specular_weight,
+        shadow_test=args.shadow_test,
+    )
+    with_bvh = config.intersector in ("auto", "bvh")
+    scene, cam = load_scene(
+        rel(args.xml), rel(args.obj), rel(args.mtl), args.basedir,
+        with_bvh=with_bvh,
+    )
+    if args.width or args.height:
+        cam = dataclasses.replace(
+            cam, width=args.width or cam.width, height=args.height or cam.height
+        )
+    log.info(
+        "scene: %d triangles, %d materials, %d lights; image %dx%d @ %d spp",
+        scene.num_triangles, scene.num_materials, scene.num_lights,
+        cam.width, cam.height, args.spp,
+    )
+    if scene.bvh is not None:
+        log.info("BVH: %d nodes", scene.bvh.n_nodes)
+
+    out = args.out or os.path.join(args.basedir, f"image{args.spp}.png")
+    with Timer() as t:
+        render_image(scene, cam, config, spp=args.spp, seed=args.seed, out_path=out)
+    n_rays = cam.width * cam.height * args.spp
+    log.info("rendered %s in %.2fs (%.3g camera rays/s)", out, t.elapsed, n_rays / t.elapsed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Render configuration.
+
+The reference renderer has no config system: it prompts on stdin for scene
+paths + SPP (reference: RayTracingOnCPU/main.cpp:46-55) and hard-codes every
+other constant. All of those constants become explicit, documented flags here,
+with defaults equal to the reference's values:
+
+- ``p_rr = 0.8``            Russian-roulette survival prob (pathtracing.h:12)
+- ``t_min = 5e-4``          min hit distance (bvh.cpp:189)
+- ``n_dot_d_min = 1e-5``    grazing-ray rejection (bvh.cpp:185)
+- ``leaf_size = 8``         BVH leaf capacity (main.cpp:76)
+- ``aabb_pad = 1e-3``       AABB padding (bvh.cpp:31-40)
+- ``spp = 256``             default sample count (main.cpp:13)
+
+Reference-quirk switches (SURVEY.md §7 "hard part 4"): several estimator
+details of the reference are physically questionable; each is kept behind a
+flag so we can demonstrate both bit-level fidelity ("ref") and the corrected
+estimator:
+
+- ``light_sampler``  "ref": light-point barycentrics from 3 normalized
+  uniforms (non-uniform over area, pathTracing.cpp:44-47) and the light-pick
+  uniform drawn from the FIRST light's total area for every light (the
+  ``static`` distribution quirk at pathTracing.cpp:37-38). "uniform":
+  sqrt-based uniform-area barycentrics and per-light pick range.
+- ``specular_weight``  "ref": SPECULAR indirect bounces multiply Kd
+  (pathTracing.cpp:91-93). "ks": multiply Ks (the physically intended weight).
+- ``shadow_test``  "mtl": visibility == (closest-hit material id == light
+  material id), the reference's name comparison (pathTracing.cpp:55-58).
+  "tmin": classic distance-based occlusion test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Ray types, mirroring the reference constants (reference: RayTracingOnCPU/ray.h:5-8)
+DIFFUSE = 0
+SPECULAR = 1
+TRANSMISSION = 2
+INVALID = 3
+# Extra type for freshly generated camera rays (the reference encodes this
+# implicitly by calling shade() at recursion depth 0, main.cpp:101).
+CAMERA = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) render configuration — safe to close over in jit."""
+
+    # sampling
+    spp: int = 256
+    max_depth: int = 16          # reference recursion is unbounded, RR-terminated
+    p_rr: float = 0.8
+    # intersection
+    t_min: float = 5e-4
+    n_dot_d_min: float = 1e-5
+    intersector: str = "auto"    # auto | brute | bvh | pallas
+    tri_chunk: int = 256         # triangle tile for the chunked brute-force scan
+    ray_chunk: int = 65536       # rays processed per device step
+    bvh_early_out: bool = True   # front-to-back-ish pruning by current best t
+    #   (strict improvement over the reference's explore-both, bvh.cpp:156-166)
+    # BVH build
+    leaf_size: int = 8
+    aabb_pad: float = 1e-3
+    # estimator fidelity switches (see module docstring)
+    light_sampler: str = "ref"     # ref | uniform
+    specular_weight: str = "ref"   # ref | ks
+    shadow_test: str = "mtl"       # mtl | tmin
+    # precision of the accumulation image
+    accum_dtype: str = "float32"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,176 @@
+"""Ray-scene intersection: batched Möller–Trumbore with reference-faithful
+acceptance rules, plus the closest-hit selection with emissive tie-break.
+
+The reference tests triangles with a plane-equation + three-edge-cross inside
+test (RayTracingOnCPU/bvh.cpp:177-209) and recovers barycentrics later with a
+per-hit Eigen QR solve (triangle.cpp:12-29). Möller–Trumbore produces the
+same hit set (up to measure-zero boundary cases) and yields the barycentrics
+(u, v) for free, which is exactly the improvement SURVEY.md §2 calls for.
+
+Faithful acceptance rules kept:
+- reject when |dot(geometric_normal, dir)| < 1e-5 (bvh.cpp:185)
+- reject when t < 5e-4, the implicit shadow-acne epsilon (bvh.cpp:189) —
+  the reference applies NO origin offset to secondary rays
+- closest hit; on equal distance prefer an emissive triangle
+  (bvh.cpp:168-174,219 — "choose Emissive triangle when they are
+  overlapping", triangle.h comment)
+
+The brute-force path scans triangles in fixed-size chunks via ``lax.scan``
+so peak memory is O(rays * tri_chunk), with a running (best_t, best_i, ...)
+carry — the TPU-idiomatic replacement for the reference's per-ray loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tinyraytracing_tpu.config import RenderConfig
+from tinyraytracing_tpu.models.scene import Scene
+
+INF = jnp.float32(3.0e38)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Hit:
+    """Per-ray closest-hit record (the reference's HitRecord, bvh.h:7-15)."""
+
+    t: jax.Array        # (R,) distance, INF on miss
+    idx: jax.Array      # (R,) int32 triangle index, 0 on miss (mask with .hit)
+    u: jax.Array        # (R,) barycentric weight of v1
+    v: jax.Array        # (R,) barycentric weight of v2
+    hit: jax.Array      # (R,) bool
+
+    @property
+    def w(self):
+        return 1.0 - self.u - self.v
+
+
+def _pad_to(x, multiple, axis=0, value=0):
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def moller_trumbore(org, d, v0, v1, v2, gn, config: RenderConfig):
+    """Intersect R rays against C triangles -> (t, u, v, ok) each (R, C).
+
+    org/d: (R, 3); v0/v1/v2/gn: (C, 3).
+    """
+    e1 = v1 - v0                                    # (C, 3)
+    e2 = v2 - v0
+    pvec = jnp.cross(d[:, None, :], e2[None, :, :])  # (R, C, 3)
+    det = jnp.einsum("cj,rcj->rc", e1, pvec)
+    inv_det = jnp.reciprocal(jnp.where(det == 0.0, 1.0, det))
+    tvec = org[:, None, :] - v0[None, :, :]
+    u = jnp.einsum("rcj,rcj->rc", tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.einsum("rj,rcj->rc", d, qvec) * inv_det
+    t = jnp.einsum("cj,rcj->rc", e2, qvec) * inv_det
+
+    # reference acceptance: grazing cull against the *unit* geometric normal
+    # (bvh.cpp:185) + t_min (bvh.cpp:189) + inside test.
+    ndd = d @ gn.T                                  # (R, C)
+    ok = (
+        (jnp.abs(ndd) >= config.n_dot_d_min)
+        & (det != 0.0)
+        & (t >= config.t_min)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+    )
+    return t, u, v, ok
+
+
+def _chunk_best(t, u, v, ok, emissive):
+    """Per-ray best over the chunk axis with emissive tie preference.
+
+    t/u/v/ok: (R, C); emissive: (C,) -> (bt, bi, bu, bv, bemis) each (R,).
+    """
+    tm = jnp.where(ok, t, INF)
+    bt = jnp.min(tm, axis=1)
+    tie_emis = (tm == bt[:, None]) & emissive[None, :]
+    has_emis = jnp.any(tie_emis, axis=1)
+    bi = jnp.where(has_emis, jnp.argmax(tie_emis, axis=1), jnp.argmin(tm, axis=1))
+    take = lambda a: jnp.take_along_axis(a, bi[:, None], axis=1)[:, 0]
+    return bt, bi.astype(jnp.int32), take(u), take(v), has_emis
+
+
+def brute_force_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
+    """Closest hit over all triangles, scanned in chunks of config.tri_chunk."""
+    C = config.tri_chunk
+    T = scene.v0.shape[0]
+    n_chunks = -(-T // C)
+
+    # pad with degenerate triangles: gn = 0 fails the 1e-5 grazing cull so
+    # padding can never be hit.
+    stack = lambda a, value=0.0: _pad_to(a, C, value=value).reshape(
+        n_chunks, C, *a.shape[1:]
+    )
+    xs = (
+        stack(scene.v0),
+        stack(scene.v1),
+        stack(scene.v2),
+        stack(scene.gn),
+        stack(scene.tri_emissive, value=False),
+        _pad_to(
+            jnp.arange(T, dtype=jnp.int32), C, value=0
+        ).reshape(n_chunks, C),
+    )
+
+    R = org.shape[0]
+    init = (
+        jnp.full((R,), INF),
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,)),
+        jnp.zeros((R,)),
+        jnp.zeros((R,), bool),
+    )
+
+    def body(carry, chunk):
+        v0, v1, v2, gn, emis, tid = chunk
+        bt0, bi0, bu0, bv0, be0 = carry
+        t, u, v, ok = moller_trumbore(org, d, v0, v1, v2, gn, config)
+        bt, bi, bu, bv, be = _chunk_best(t, u, v, ok, emis)
+        gi = tid[bi]
+        # reference replace rule (bvh.cpp:219): strictly closer, or equal
+        # distance and the challenger is emissive.
+        repl = (bt < bt0) | ((bt == bt0) & be & (bt < INF))
+        sel = lambda a, b: jnp.where(repl, a, b)
+        return (
+            sel(bt, bt0),
+            sel(gi, bi0),
+            sel(bu, bu0),
+            sel(bv, bv0),
+            sel(be, be0),
+        ), None
+
+    (bt, bi, bu, bv, _), _ = jax.lax.scan(body, init, xs)
+    return Hit(t=bt, idx=bi, u=bu, v=bv, hit=bt < INF)
+
+
+def intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
+    """Dispatch to the configured intersector backend."""
+    backend = config.intersector
+    if backend == "auto":
+        backend = "bvh" if scene.bvh is not None else "brute"
+    if backend == "brute":
+        return brute_force_intersect(scene, org, d, config)
+    if backend == "bvh":
+        from tinyraytracing_tpu.ops.traverse import bvh_intersect
+
+        if scene.bvh is None:
+            raise ValueError("scene has no BVH; call ops.bvh.attach_bvh first")
+        return bvh_intersect(scene, org, d, config)
+    if backend == "pallas":
+        from tinyraytracing_tpu.ops.pallas_intersect import pallas_intersect
+
+        return pallas_intersect(scene, org, d, config)
+    raise ValueError(f"unknown intersector {backend!r}")
