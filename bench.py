@@ -1,0 +1,83 @@
+"""Benchmark driver — prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: traced ray segments per second per chip (closest-hit rays
+that are actually alive per bounce + NEE shadow rays) on the Cornell-box
+scene at 512x512, the wavefront forward path. ``vs_baseline`` is the ratio
+against the measured CPU reference baseline (baselines/cpu_baseline.json,
+produced by baselines/run_cpu_baseline.py reimplementing the reference
+algorithm); falls back to the BASELINE.json north-star target (5e8
+rays/s/chip) if no measured baseline exists yet.
+
+Runs on whatever jax.devices() provides (the real TPU under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tinyraytracing_tpu.config import RenderConfig
+    from tinyraytracing_tpu.integrator.wavefront import trace
+    from tinyraytracing_tpu.models.camera import generate_rays
+    from tinyraytracing_tpu.models.procedural import cornell_box
+
+    W = H = int(os.environ.get("BENCH_SIZE", 512))
+    passes = int(os.environ.get("BENCH_PASSES", 8))
+    config = RenderConfig(intersector="brute", max_depth=16, tri_chunk=64)
+    scene, cam = cornell_box(width=W, height=H)
+
+    @jax.jit
+    def one_pass(scene, cam, key):
+        k1, k2 = jax.random.split(key)
+        o, d = generate_rays(cam, k1)
+        rad, stats = trace(scene, o, d, k2, config, return_stats=True)
+        return rad.sum(), stats["primary"].sum() + stats["shadow"].sum()
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    s, nrays = one_pass(scene, cam, key)
+    s.block_until_ready()
+    rays_per_pass = int(nrays)
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(passes):
+        s, _ = one_pass(scene, cam, jax.random.fold_in(key, i))
+        acc += s
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = rays_per_pass * passes / dt
+
+    baseline = None
+    bpath = os.path.join(os.path.dirname(__file__), "baselines", "cpu_baseline.json")
+    if os.path.exists(bpath):
+        with open(bpath) as f:
+            b = json.load(f)
+        baseline = b.get("rays_per_s")
+    if not baseline:
+        baseline = 5e8  # BASELINE.json north-star target
+
+    print(
+        json.dumps(
+            {
+                "metric": f"traced_rays_per_s_per_chip_cornell{W}",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

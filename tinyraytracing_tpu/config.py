@@ -66,6 +66,9 @@ class RenderConfig:
     light_sampler: str = "ref"     # ref | uniform
     specular_weight: str = "ref"   # ref | ks
     shadow_test: str = "mtl"       # mtl | tmin
+    # differentiation: detach sampled directions / discrete decisions so
+    # the backward pass is the path-replay interior-term estimator
+    detach_sampling: bool = True
     # precision of the accumulation image
     accum_dtype: str = "float32"
 

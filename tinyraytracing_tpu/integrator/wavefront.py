@@ -46,8 +46,11 @@ from tinyraytracing_tpu.ops.intersect import intersect
 from tinyraytracing_tpu.ops.linalg import normalize
 
 
-def trace(scene, org, d, key, config: RenderConfig):
-    """Estimate radiance for a batch of camera rays. Returns (R, 3)."""
+def trace(scene, org, d, key, config: RenderConfig, return_stats: bool = False):
+    """Estimate radiance for a batch of camera rays. Returns (R, 3); with
+    ``return_stats`` also a dict of per-bounce ray counts (closest-hit rays
+    actually alive + shadow rays — the honest "rays traced" denominator for
+    rays/s reporting)."""
     R = org.shape[0]
     L = scene.light_mtl.shape[0]
 
@@ -118,6 +121,10 @@ def trace(scene, org, d, key, config: RenderConfig):
             d, pn, scene.kd[m], scene.ks[m], scene.ns[m], scene.ni[m],
             u[1], u[2], u[3], u[4],
         )
+        if config.detach_sampling:
+            # path-replay backward: the sampling DECISIONS are treated as
+            # fixed; gradients flow through the contribution terms only
+            new_dir = jax.lax.stop_gradient(new_dir)
         valid = new_type != INVALID
         alive = survive & valid
 
@@ -142,7 +149,11 @@ def trace(scene, org, d, key, config: RenderConfig):
         # stays NaN-free; their results are masked anyway.
         safe_dir = jnp.where(alive[:, None], new_dir, jnp.array([0.0, 0.0, 1.0]))
         org = jnp.where(alive[:, None], point, org)
-        return (org, safe_dir, new_type, throughput, radiance, alive), None
+        stats = dict(
+            primary=jnp.sum(carry[5].astype(jnp.int32)),
+            shadow=jnp.sum(shade_mask.astype(jnp.int32)) * L,
+        )
+        return (org, safe_dir, new_type, throughput, radiance, alive), stats
 
     init = (
         org,
@@ -152,7 +163,9 @@ def trace(scene, org, d, key, config: RenderConfig):
         jnp.zeros((R, 3), jnp.float32),
         jnp.ones((R,), bool),
     )
-    carry, _ = jax.lax.scan(
+    carry, stats = jax.lax.scan(
         bounce, init, jnp.arange(config.max_depth), unroll=1
     )
+    if return_stats:
+        return carry[4], stats
     return carry[4]

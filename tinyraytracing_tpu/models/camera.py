@@ -88,6 +88,25 @@ def generate_rays(cam: Camera, key: jax.Array):
     return o, d
 
 
+def generate_rays_for_pixels(cam: Camera, pix: jax.Array, key: jax.Array):
+    """Jittered rays for an arbitrary subset of pixels.
+
+    ``pix``: (N,) int32 global row-major pixel indices (i*W + j). Used by the
+    sharded renderer where each device owns a slice of the pixel space.
+    """
+    W, H = cam.width, cam.height
+    eye, horizontal, vertical, llc = camera_basis(cam)
+    pixf = pix.astype(jnp.float32)
+    i = jnp.floor(pixf / W)
+    j = pixf - i * W
+    jit = jax.random.uniform(key, (2,) + pix.shape, dtype=jnp.float32) - 0.5
+    x = j / (W - 1.0) + jit[0] / W
+    y = (H - i) / (H - 1.0) + jit[1] / H
+    d = llc[None, :] + x[:, None] * horizontal[None, :] + y[:, None] * vertical[None, :] - eye[None, :]
+    d = normalize(d)
+    return jnp.broadcast_to(eye, d.shape), d
+
+
 def generate_rays_np(cam: Camera, x: np.ndarray, y: np.ndarray):
     """Host-side (numpy, float64) ray gen for unit tests against hand math."""
     fovy = float(cam.fovy)

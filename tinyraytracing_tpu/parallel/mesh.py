@@ -1,0 +1,115 @@
+"""Device-mesh sharded rendering.
+
+Parallelism inventory (SURVEY.md §2 checklist):
+
+1. **tile axis** — pixels (rays) sharded across devices; each device owns a
+   contiguous slice of the pixel space and traces its rays against the
+   replicated scene/BVH (the axis the reference's dead algo.hpp
+   parallelized, RT/algo.hpp:298).
+2. **spp axis** — sample passes sharded; the per-device partial sums are
+   combined with ``lax.psum`` — a deterministic tree reduction replacing the
+   reference's racy shared ``image[p] += color`` (main.cpp:103-108).
+
+Scene, camera, and key are replicated (in_spec P()); the output image comes
+back tile-sharded and is reassembled by jit.
+
+Multi-host: call ``jax.distributed.initialize()`` first; the same code runs
+with a mesh spanning hosts (geometry replicated per host, psum over ICI —
+BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tinyraytracing_tpu.config import RenderConfig
+from tinyraytracing_tpu.integrator.wavefront import trace
+from tinyraytracing_tpu.models.camera import Camera, generate_rays_for_pixels
+from tinyraytracing_tpu.models.scene import Scene
+
+
+def make_mesh(n_tile: int | None = None, n_spp: int | None = None, devices=None) -> Mesh:
+    """2-D Mesh over the available devices. Defaults: all devices on the
+    tile axis (ray-parallel), spp axis 1."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_tile is None and n_spp is None:
+        n_tile, n_spp = n, 1
+    elif n_tile is None:
+        n_tile = n // n_spp
+    elif n_spp is None:
+        n_spp = n // n_tile
+    if n_tile * n_spp != n:
+        raise ValueError(f"mesh {n_tile}x{n_spp} != {n} devices")
+    arr = np.asarray(devices).reshape(n_tile, n_spp)
+    return Mesh(arr, ("tile", "spp"))
+
+
+def _shard_body(scene, cam, key, pix, spp_ids, config: RenderConfig, spp: int):
+    """Per-device: trace |pix| rays for each of the local spp ids, psum over
+    the spp axis. Runs under shard_map."""
+    tile_i = jax.lax.axis_index("tile")
+    spp_i = jax.lax.axis_index("spp")
+
+    def one_pass(acc, s):
+        # fold (sample, tile, spp) into the key: every (pass, device) gets
+        # an independent counter-based stream.
+        k = jax.random.fold_in(key, s)
+        k = jax.random.fold_in(k, tile_i)
+        k_ray, k_trace = jax.random.split(k)
+        o, d = generate_rays_for_pixels(cam, pix, k_ray)
+        rad = trace(scene, o, d, k_trace, config)
+        rad = jnp.where(s < spp, rad, 0.0)  # padded spp ids contribute 0
+        return acc + rad, None
+
+    acc0 = jnp.zeros((pix.shape[0], 3), jnp.float32)
+    acc, _ = jax.lax.scan(one_pass, acc0, spp_ids)
+    acc = jax.lax.psum(acc, "spp")
+    return acc / spp
+
+
+@partial(jax.jit, static_argnames=("config", "spp", "mesh"))
+def _render_sharded_jit(scene, cam, key, config, spp, mesh):
+    from jax.experimental.shard_map import shard_map
+
+    W, H = cam.width, cam.height
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+
+    n_pix = W * H
+    pad_pix = (-n_pix) % n_tile
+    pix = jnp.arange(n_pix + pad_pix, dtype=jnp.int32)
+    pix = jnp.minimum(pix, n_pix - 1)
+
+    pad_spp = (-spp) % n_spp
+    spp_ids = jnp.arange(spp + pad_spp, dtype=jnp.int32)
+
+    fn = shard_map(
+        partial(_shard_body, config=config, spp=spp),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("tile"), P("spp")),
+        out_specs=P("tile"),
+        check_rep=False,
+    )
+    img = fn(scene, cam, key, pix, spp_ids)
+    return img[:n_pix].reshape(H, W, 3)
+
+
+def render_sharded(
+    scene: Scene,
+    cam: Camera,
+    key,
+    config: RenderConfig,
+    mesh: Mesh | None = None,
+    spp: int | None = None,
+):
+    """Distributed render over ``mesh``; returns the (H, W, 3) linear mean
+    image (replicated)."""
+    if mesh is None:
+        mesh = make_mesh()
+    return _render_sharded_jit(scene, cam, key, config, spp or config.spp, mesh)
