@@ -78,3 +78,30 @@ def test_tonemap_matches_reference_cast():
     # pow(0.5, 1/2.2)*255 = 186.51... -> truncates to 186
     assert out.tolist() == [[[0, 186, 255]]]
     assert tonemap_srgb(np.array([[[2.0, -1.0, 0.2178]]])).tolist() == [[[255, 0, 127]]]
+
+
+def test_native_matches_python():
+    """Native C++ OBJ parser and BVH builder must agree exactly with the
+    Python implementations (skipped when no toolchain)."""
+    pytest.importorskip("tinyraytracing_tpu.native")
+    try:
+        from tinyraytracing_tpu.native import build_bvh_native, parse_obj_native
+        m1 = parse_obj_native(f"{SCENES}/veach-mis/veach-mis.obj")
+    except ImportError:
+        pytest.skip("native toolchain unavailable")
+    m2 = parse_obj(f"{SCENES}/veach-mis/veach-mis.obj")
+    assert m1.num_triangles == m2.num_triangles == 2332
+    np.testing.assert_allclose(m1.v, m2.v)
+    np.testing.assert_allclose(m1.vn, m2.vn)
+    np.testing.assert_allclose(m1.vt, m2.vt)
+    np.testing.assert_array_equal(m1.mtl, m2.mtl)
+    assert m1.mtl_names == m2.mtl_names
+
+    from tinyraytracing_tpu.ops.bvh import build_bvh
+
+    n1, p1 = build_bvh_native(m1.v)
+    n2, p2 = build_bvh(m2.v)
+    np.testing.assert_array_equal(p1, p2)
+    for k in ("start", "count", "skip"):
+        np.testing.assert_array_equal(n1[k], n2[k])
+    np.testing.assert_allclose(n1["nmin"], n2["nmin"], atol=1e-4)

@@ -267,7 +267,12 @@ def load_scene(
     if basedir is None:
         basedir = os.path.dirname(os.path.abspath(xml_path))
     config = parse_scene_xml(xml_path)
-    mesh = parse_obj(obj_path)
+    try:
+        from tinyraytracing_tpu.native import parse_obj_native
+
+        mesh = parse_obj_native(obj_path)
+    except ImportError:
+        mesh = parse_obj(obj_path)
     materials = parse_mtl(mtl_path)
     bvh_host = None
     if with_bvh:
