@@ -215,7 +215,16 @@ struct HitR {
   float t = 3e38f;
   int tri = -1;
   float u = 0, v = 0;
+  bool emissive = false;
 };
+
+// Relative band treated as "equal distance" for the emissive tie
+// preference. The original reference's plane-equation test produces
+// bitwise-identical t for coplanar axis-aligned quads (so its exact
+// equality check works); Moller-Trumbore arithmetic differs per triangle,
+// so the band makes the tie-break robust (mirrors config.tie_eps in the
+// TPU renderer).
+constexpr float kTieEps = 4e-6f;
 
 inline bool hit_tri(const Tri& tr, V3 o, V3 d, float* t, float* u, float* v) {
   if (std::fabs(dot(tr.gn, d)) < kGraze) return false;
@@ -250,7 +259,8 @@ HitR closest_hit(const SceneCPU& sc, const BVH& bvh, V3 o, V3 d) {
     float tz0 = (nd.lo.z - o.z) * inv.z, tz1 = (nd.hi.z - o.z) * inv.z;
     float t0 = std::max({std::min(tx0, tx1), std::min(ty0, ty1), std::min(tz0, tz1)});
     float t1 = std::min({std::max(tx0, tx1), std::max(ty0, ty1), std::max(tz0, tz1)});
-    bool hit = t1 >= t0 && (t0 > 0 ? t0 : t1) > 0 && std::max(t0, 0.0f) <= best.t;
+    bool hit = t1 >= t0 && (t0 > 0 ? t0 : t1) > 0 &&
+               std::max(t0, 0.0f) <= best.t * (1 + kTieEps);
     if (!hit) {
       i = nd.skip;
       continue;
@@ -260,9 +270,10 @@ HitR closest_hit(const SceneCPU& sc, const BVH& bvh, V3 o, V3 d) {
         int ti = bvh.order[nd.start + k];
         float t, u, v;
         if (hit_tri(sc.tris[ti], o, d, &t, &u, &v)) {
-          // emissive preferred on equal distance
-          if (t < best.t || (t == best.t && sc.tris[ti].emissive)) {
-            best = {t, ti, u, v};
+          bool em = sc.tris[ti].emissive;
+          bool near = t <= best.t * (1 + kTieEps) && best.t <= t * (1 + kTieEps);
+          if ((!near && t < best.t) || (near && em && !best.emissive)) {
+            best = {t, ti, u, v, em};
           }
         }
       }

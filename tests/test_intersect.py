@@ -156,3 +156,24 @@ def test_bvh_no_early_out_matches(test_scene_bvh, rng):
     h2 = bvh_intersect(test_scene_bvh, org, d, cfg2)
     np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
     np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), rtol=1e-6)
+
+
+def test_mxu_matches_brute(test_scene, rng):
+    """The Woop-transform matmul intersector (MXU path) must agree with
+    Möller–Trumbore on hits, distances, and same-index barycentrics."""
+    from tinyraytracing_tpu.ops.intersect import mxu_intersect
+
+    scene, _ = test_scene
+    R = 512
+    org = jnp.asarray(rng.uniform([0, 0, -400], [556, 548, 559], (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    h1 = brute_force_intersect(scene, org, d, CFG)
+    h2 = mxu_intersect(scene, org, d, CFG)
+    np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    m = np.asarray(h1.hit)
+    np.testing.assert_allclose(np.asarray(h1.t)[m], np.asarray(h2.t)[m], rtol=1e-4, atol=1e-2)
+    same = m & (np.asarray(h1.idx) == np.asarray(h2.idx))
+    assert same.sum() / m.sum() > 0.99  # shared-edge ties may differ
+    np.testing.assert_allclose(np.asarray(h1.u)[same], np.asarray(h2.u)[same], atol=1e-4)

@@ -1,0 +1,64 @@
+"""Checkpoint/resume and observability-report tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tinyraytracing_tpu.config import RenderConfig
+from tinyraytracing_tpu.models.procedural import cornell_box
+from tinyraytracing_tpu.utils.checkpoint import render_checkpointed
+from tinyraytracing_tpu.utils.report import bvh_depth, profiled_render
+
+CFG = RenderConfig(intersector="mxu", max_depth=2, ray_chunk=1024, tri_chunk=64)
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    scene, cam = cornell_box(width=12, height=12)
+    p1 = str(tmp_path / "a.npz")
+    img_full = render_checkpointed(scene, cam, CFG, spp=6, ckpt_path=p1, chunk=6)
+
+    # interrupted: run 3 passes (chunk=3 -> checkpoint at 3), then "resume"
+    p2 = str(tmp_path / "b.npz")
+    calls = []
+
+    def stop_after_first(done, spp):
+        calls.append(done)
+        if len(calls) == 1:
+            raise KeyboardInterrupt
+
+    try:
+        render_checkpointed(
+            scene, cam, CFG, spp=6, ckpt_path=p2, chunk=3, progress=stop_after_first
+        )
+    except KeyboardInterrupt:
+        pass
+    assert os.path.exists(p2)
+    img_resumed = render_checkpointed(scene, cam, CFG, spp=6, ckpt_path=p2, chunk=3)
+    np.testing.assert_array_equal(img_full, img_resumed)
+
+
+def test_incompatible_checkpoint_restarts(tmp_path):
+    scene, cam = cornell_box(width=12, height=12)
+    p = str(tmp_path / "c.npz")
+    render_checkpointed(scene, cam, CFG, spp=2, ckpt_path=p, chunk=2)
+    # different seed must ignore the stale checkpoint, not blend into it
+    img = render_checkpointed(scene, cam, CFG, spp=2, ckpt_path=p, seed=9, chunk=2)
+    assert np.isfinite(img).all()
+
+
+def test_bvh_depth():
+    # chain: root(internal) -> leaf at depth 1 + leaf at depth 1
+    skip = np.array([3, 2, 3], np.int32)  # root covers [0,3); two leaves
+    assert bvh_depth(skip) == 2
+    assert bvh_depth(np.array([1], np.int32)) == 1
+
+
+def test_profiled_render_report():
+    scene, cam = cornell_box(width=12, height=12)
+    img, rep = profiled_render(scene, cam, CFG, spp=2)
+    assert img.shape == (12, 12, 3)
+    assert rep.num_triangles == 32
+    assert rep.rays_traced > 12 * 12 * 2  # at least primaries + some shadows
+    assert rep.rays_per_s > 0
+    assert "rays_per_s" in rep.to_json()

@@ -54,8 +54,14 @@ class RenderConfig:
     # intersection
     t_min: float = 5e-4
     n_dot_d_min: float = 1e-5
-    intersector: str = "auto"    # auto | brute | bvh | pallas
+    intersector: str = "auto"    # auto | mxu | brute | bvh | pallas
     tri_chunk: int = 256         # triangle tile for the chunked brute-force scan
+    tie_eps: float = 4e-6        # RELATIVE t band treated as "equal distance"
+    # for the emissive tie-break (bvh.cpp:219). The reference's plane test
+    # yields bitwise-equal t for coplanar axis-aligned quads (the classic
+    # light-on-ceiling case); our per-triangle arithmetic (MT / Woop)
+    # differs in the last ulps, so exact equality would silently lose NEE
+    # visibility. ~4e-6 relative = a few ulps of float32.
     ray_chunk: int = 65536       # rays processed per device step
     bvh_early_out: bool = True   # front-to-back-ish pruning by current best t
     #   (strict improvement over the reference's explore-both, bvh.cpp:156-166)

@@ -66,6 +66,8 @@ class Scene:
     t1: jax.Array
     t2: jax.Array
     gn: jax.Array          # (T, 3) geometric normal (reference triangle.normal)
+    woop_a: jax.Array      # (T, 3, 3) Woop inverse transform rows (u, v, w)
+    woop_b: jax.Array      # (T, 3) Woop offset: local = woop_a @ p + woop_b
     tri_mtl: jax.Array     # (T,) int32
     tri_emissive: jax.Array  # (T,) bool
     # --- materials (M) ---
@@ -110,6 +112,34 @@ class Scene:
     @property
     def num_materials(self) -> int:
         return self.kd.shape[0]
+
+
+def woop_transform(tri_v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-triangle affine transform to unit-barycentric space (Woop et al.'s
+    watertight formulation adapted to SoA): local = A @ p + b maps v0 to the
+    origin, v1 to (1,0,0)-ish, v2 to (0,1,0)-ish, with the third coordinate
+    the (unnormalized) plane offset. Intersection then becomes LINEAR in the
+    ray (origin, direction) — two matmuls per ray batch on the MXU
+    (ops/intersect.py mxu backend) instead of per-triangle cross products
+    on the VPU.
+
+    Rows (computed in float64 for robustness):
+      A = [cross(e2, n); cross(n, e1); n] / (n . n),  b = -A @ v0
+    with e1 = v1-v0, e2 = v2-v0, n = e1 x e2. Degenerate triangles get
+    zero rows (every ray misses; the |dot(gn, d)| cull also rejects them).
+    """
+    v = np.asarray(tri_v, dtype=np.float64)
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    n = np.cross(e1, e2)
+    det = np.einsum("ij,ij->i", n, n)
+    safe = det > 1e-24
+    inv_det = np.where(safe, 1.0 / np.where(safe, det, 1.0), 0.0)
+    rows = np.stack(
+        [np.cross(e2, n), np.cross(n, e1), n], axis=1
+    ) * inv_det[:, None, None]                       # (T, 3, 3)
+    b = -np.einsum("tij,tj->ti", rows, v[:, 0])      # (T, 3)
+    return rows, b
 
 
 def assemble_scene(
@@ -225,12 +255,15 @@ def assemble_scene(
             leaf_size=int(nodes["leaf_size"]),
         )
 
+    woop_a, woop_b = woop_transform(tv)
+
     f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
     return Scene(
         v0=f32(tv[:, 0]), v1=f32(tv[:, 1]), v2=f32(tv[:, 2]),
         n0=f32(tvn[:, 0]), n1=f32(tvn[:, 1]), n2=f32(tvn[:, 2]),
         t0=f32(tvt[:, 0]), t1=f32(tvt[:, 1]), t2=f32(tvt[:, 2]),
         gn=f32(tgn),
+        woop_a=f32(woop_a), woop_b=f32(woop_b),
         tri_mtl=jnp.asarray(tri_mtl),
         tri_emissive=jnp.asarray(tri_emissive),
         kd=f32(kd), ks=f32(ks), tr=f32(tr), ns=f32(ns), ni=f32(ni),

@@ -178,6 +178,8 @@ def attach_bvh(scene, config: RenderConfig):
         n0=permute(scene.n0), n1=permute(scene.n1), n2=permute(scene.n2),
         t0=permute(scene.t0), t1=permute(scene.t1), t2=permute(scene.t2),
         gn=permute(scene.gn),
+        woop_a=permute(scene.woop_a),
+        woop_b=permute(scene.woop_b),
         tri_mtl=permute(scene.tri_mtl),
         tri_emissive=permute(scene.tri_emissive),
         bvh=bvh,

@@ -89,18 +89,36 @@ def moller_trumbore(org, d, v0, v1, v2, gn, config: RenderConfig):
     return t, u, v, ok
 
 
-def _chunk_best(t, u, v, ok, emissive):
+def _chunk_best(t, u, v, ok, emissive, tie_eps):
     """Per-ray best over the chunk axis with emissive tie preference.
 
+    "Equal distance" (reference bvh.cpp:219) is a RELATIVE band of width
+    tie_eps, not exact float equality — see config.tie_eps.
     t/u/v/ok: (R, C); emissive: (C,) -> (bt, bi, bu, bv, bemis) each (R,).
     """
     tm = jnp.where(ok, t, INF)
     bt = jnp.min(tm, axis=1)
-    tie_emis = (tm == bt[:, None]) & emissive[None, :]
+    tie_emis = (
+        (tm <= bt[:, None] * (1.0 + tie_eps))
+        & (tm < INF)
+        & emissive[None, :]
+    )
     has_emis = jnp.any(tie_emis, axis=1)
     bi = jnp.where(has_emis, jnp.argmax(tie_emis, axis=1), jnp.argmin(tm, axis=1))
     take = lambda a: jnp.take_along_axis(a, bi[:, None], axis=1)[:, 0]
-    return bt, bi.astype(jnp.int32), take(u), take(v), has_emis
+    return take(tm), bi.astype(jnp.int32), take(u), take(v), has_emis
+
+
+def _merge_best(carry, cand, tie_eps):
+    """Merge a chunk's best into the running best: strictly-closer wins
+    outside the tie band; inside the band an emissive candidate displaces a
+    non-emissive incumbent (reference bvh.cpp:168-174,219)."""
+    bt0, bi0, bu0, bv0, be0 = carry
+    bt, bi, bu, bv, be = cand
+    near = (bt <= bt0 * (1.0 + tie_eps)) & (bt0 <= bt * (1.0 + tie_eps)) & (bt < INF)
+    repl = (~near & (bt < bt0)) | (near & be & ~be0)
+    sel = lambda a, b: jnp.where(repl, a, b)
+    return (sel(bt, bt0), sel(bi, bi0), sel(bu, bu0), sel(bv, bv0), sel(be, be0))
 
 
 def brute_force_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
@@ -136,23 +154,82 @@ def brute_force_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
 
     def body(carry, chunk):
         v0, v1, v2, gn, emis, tid = chunk
-        bt0, bi0, bu0, bv0, be0 = carry
         t, u, v, ok = moller_trumbore(org, d, v0, v1, v2, gn, config)
-        bt, bi, bu, bv, be = _chunk_best(t, u, v, ok, emis)
-        gi = tid[bi]
-        # reference replace rule (bvh.cpp:219): strictly closer, or equal
-        # distance and the challenger is emissive.
-        repl = (bt < bt0) | ((bt == bt0) & be & (bt < INF))
-        sel = lambda a, b: jnp.where(repl, a, b)
-        return (
-            sel(bt, bt0),
-            sel(gi, bi0),
-            sel(bu, bu0),
-            sel(bv, bv0),
-            sel(be, be0),
-        ), None
+        bt, bi, bu, bv, be = _chunk_best(t, u, v, ok, emis, config.tie_eps)
+        return _merge_best(carry, (bt, tid[bi], bu, bv, be), config.tie_eps), None
 
     (bt, bi, bu, bv, _), _ = jax.lax.scan(body, init, xs)
+    return Hit(t=bt, idx=bi, u=bu, v=bv, hit=bt < INF)
+
+
+def mxu_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
+    """Closest hit over all triangles with the intersection test phrased as
+    MATMULS on the MXU (the TPU's 128x128 systolic array) instead of
+    per-triangle cross products on the VPU.
+
+    Uses the per-triangle Woop transform precomputed at scene build
+    (models/scene.py woop_transform): local-space ray is LINEAR in
+    (origin, direction), so for a chunk of C triangles
+
+        ld = d   @ A^T            (R,3) x (3, 3C)  matmul
+        lo = org @ A^T + b        (R,3) x (3, 3C)  matmul (+broadcast bias)
+        t  = -lo_z / ld_z ;  u = lo_x + t*ld_x ;  v = lo_y + t*ld_y
+
+    The grazing cull |dot(gn, d)| >= 1e-5 (reference bvh.cpp:185) rides the
+    same matmul as 3 extra rows. ~21 matmul FLOPs/ray-triangle at MXU rate
+    vs ~60 VPU FLOPs for classic Moller-Trumbore. float32 precision is
+    forced with Precision.HIGHEST (geometry at Cornell-box scale breaks
+    under bf16 matmul rounding).
+    """
+    C = config.tri_chunk
+    T = scene.v0.shape[0]
+    n_chunks = -(-T // C)
+    R = org.shape[0]
+
+    # (T, 3, 3) -> (n_chunks, 3C, 3) with zero padding (rows of zeros can
+    # never produce a valid hit: ld_z = 0 -> t = inf)
+    A = _pad_to(scene.woop_a.reshape(T, 9), C).reshape(n_chunks, C, 3, 3)
+    A = A.transpose(0, 1, 2, 3).reshape(n_chunks, C * 3, 3)
+    B = _pad_to(scene.woop_b, C).reshape(n_chunks, C * 3)
+    G = _pad_to(scene.gn, C).reshape(n_chunks, C, 3)
+    emis = _pad_to(scene.tri_emissive, C, value=False).reshape(n_chunks, C)
+    tid = _pad_to(jnp.arange(T, dtype=jnp.int32), C).reshape(n_chunks, C)
+
+    org4 = org
+    hp = jax.lax.Precision.HIGHEST
+
+    init = (
+        jnp.full((R,), INF),
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,)),
+        jnp.zeros((R,)),
+        jnp.zeros((R,), bool),
+    )
+
+    def body(carry, chunk):
+        a, b, g, em, ids = chunk
+        ld = jnp.dot(d, a.T, precision=hp).reshape(R, C, 3)
+        lo = (jnp.dot(org4, a.T, precision=hp) + b[None, :]).reshape(R, C, 3)
+        ndd = jnp.dot(d, g.T, precision=hp)                  # (R, C)
+
+        ldz = ld[..., 2]
+        inv = jnp.reciprocal(jnp.where(ldz == 0.0, 1.0, ldz))
+        t = -lo[..., 2] * inv
+        u = lo[..., 0] + t * ld[..., 0]
+        v = lo[..., 1] + t * ld[..., 1]
+        ok = (
+            (jnp.abs(ndd) >= config.n_dot_d_min)
+            & (ldz != 0.0)
+            & (t >= config.t_min)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+        )
+        t = jnp.where(ok, t, INF)
+        bt, bi, bu, bv, be = _chunk_best(t, u, v, ok, em, config.tie_eps)
+        return _merge_best(carry, (bt, ids[bi], bu, bv, be), config.tie_eps), None
+
+    (bt, bi, bu, bv, _), _ = jax.lax.scan(body, init, (A, B, G, emis, tid))
     return Hit(t=bt, idx=bi, u=bu, v=bv, hit=bt < INF)
 
 
@@ -160,7 +237,9 @@ def intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
     """Dispatch to the configured intersector backend."""
     backend = config.intersector
     if backend == "auto":
-        backend = "bvh" if scene.bvh is not None else "brute"
+        backend = "bvh" if scene.bvh is not None else "mxu"
+    if backend == "mxu":
+        return mxu_intersect(scene, org, d, config)
     if backend == "brute":
         return brute_force_intersect(scene, org, d, config)
     if backend == "bvh":

@@ -50,7 +50,9 @@ def bvh_intersect(scene, org, d, config: RenderConfig) -> Hit:
             dist = jnp.where(t0 > 0.0, t0, t1)
             aabb_hit = (t1 >= t0) & (dist > 0.0)
             if config.bvh_early_out:
-                aabb_hit = aabb_hit & (jnp.maximum(t0, 0.0) <= bt)
+                aabb_hit = aabb_hit & (
+                    jnp.maximum(t0, 0.0) <= bt * (1.0 + config.tie_eps)
+                )
 
             count = bvh.count[node]
             is_leaf = count > 0
@@ -68,11 +70,15 @@ def bvh_intersect(scene, org, d, config: RenderConfig) -> Hit:
             emis = scene.tri_emissive[ids] & ok
 
             lt = jnp.min(t)
-            tie = (t == lt) & emis
+            # epsilon-banded emissive tie preference (see config.tie_eps)
+            tie = (t <= lt * (1.0 + config.tie_eps)) & (t < INF) & emis
             lhas = jnp.any(tie)
             li = jnp.where(lhas, jnp.argmax(tie), jnp.argmin(t))
-            # reference replace rule (bvh.cpp:219): closer, or equal & emissive
-            repl = (lt < bt) | ((lt == bt) & lhas & (lt < INF))
+            lt = t[li]
+            near = (lt <= bt * (1.0 + config.tie_eps)) & (
+                bt <= lt * (1.0 + config.tie_eps)
+            ) & (lt < INF)
+            repl = (~near & (lt < bt)) | (near & lhas & ~be)
             bt = jnp.where(repl, lt, bt)
             bi = jnp.where(repl, ids[li].astype(jnp.int32), bi)
             bu = jnp.where(repl, u[0, li], bu)
