@@ -32,7 +32,7 @@ def main():
 
     W = H = int(os.environ.get("BENCH_SIZE", 512))
     passes = int(os.environ.get("BENCH_PASSES", 8))
-    config = RenderConfig(intersector="mxu", max_depth=16, tri_chunk=128)
+    config = RenderConfig(intersector="pallas", max_depth=16, tri_chunk=128)
     scene, cam = cornell_box(width=W, height=H)
 
     @jax.jit

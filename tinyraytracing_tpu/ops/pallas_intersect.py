@@ -85,21 +85,15 @@ def _kernel(o_ref, d_ref, a_ref, b_ref, g_ref, e_ref,
         g = g_ref[:, pl.ds(k * C, C)]             # (3, C)
         em = e_ref[:, pl.ds(k * C, C)] > 0.0      # (1, C)
 
-        ld = jax.lax.dot_general(
-            d, a, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                          # (RT, 3C)
-        lo = jax.lax.dot_general(
-            o, a, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ) + bb
-        ndd = jax.lax.dot_general(
-            d, g, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                          # (RT, C)
+        # K=3 "matmuls" as three broadcast FMAs on the VPU: a
+        # Precision.HIGHEST f32 dot_general decomposes into multiple MXU
+        # passes whose systolic fill overhead dwarfs the 3-deep
+        # contraction (measured ~30ms/call vs <2ms this way).
+        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]      # (RT, 1)
+        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+        ld = dx * a[0:1, :] + dy * a[1:2, :] + dz * a[2:3, :]   # (RT, 3C)
+        lo = ox * a[0:1, :] + oy * a[1:2, :] + oz * a[2:3, :] + bb
+        ndd = dx * g[0:1, :] + dy * g[1:2, :] + dz * g[2:3, :]  # (RT, C)
 
         ldw = ld[:, 2 * C :]
         inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(ldw == 0.0, 1.0, ldw)
