@@ -96,3 +96,35 @@ def test_depth_truncation_small(test_scene):
     b = np.asarray(render(scene, cam, jax.random.PRNGKey(2), CFG.replace(max_depth=10), 4))
     rel = abs(b.mean() - a.mean()) / b.mean()
     assert rel < 0.25
+
+
+def test_regen_matches_scan_statistically(test_scene):
+    """The regeneration wavefront must estimate the same image as the
+    fixed-depth scan (different schedule + RNG mapping -> statistical
+    comparison)."""
+    from tinyraytracing_tpu.integrator.regen import render_regen_jit
+    from tinyraytracing_tpu.models.procedural import cornell_box
+
+    scene, _ = cornell_box(width=24, height=24), None
+    scene, cam = cornell_box(width=24, height=24)
+    cfg = RenderConfig(intersector="mxu", max_depth=8, tri_chunk=64)
+    a = np.asarray(render(scene, cam, jax.random.PRNGKey(3), cfg, 16))
+    b = np.asarray(render_regen_jit(scene, cam, jax.random.PRNGKey(3), cfg, 16, lanes=4096))
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.1
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_regen_deterministic(test_scene):
+    from tinyraytracing_tpu.integrator.regen import render_regen_jit
+    from tinyraytracing_tpu.models.procedural import cornell_box
+
+    scene, cam = cornell_box(width=16, height=16)
+    cfg = RenderConfig(intersector="mxu", max_depth=4, tri_chunk=64)
+    a = np.asarray(render_regen_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=512))
+    b = np.asarray(render_regen_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=512))
+    np.testing.assert_array_equal(a, b)
+    # lane count must not change the set of traced paths' statistics much
+    c = np.asarray(render_regen_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=2048))
+    assert abs(a.mean() - c.mean()) / a.mean() < 0.3
