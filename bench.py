@@ -26,37 +26,28 @@ import numpy as np
 
 def main():
     from tinyraytracing_tpu.config import RenderConfig
-    from tinyraytracing_tpu.integrator.wavefront import trace
-    from tinyraytracing_tpu.models.camera import generate_rays
+    from tinyraytracing_tpu.integrator.regen import render_regen_stats_jit
     from tinyraytracing_tpu.models.procedural import cornell_box
 
     W = H = int(os.environ.get("BENCH_SIZE", 512))
-    passes = int(os.environ.get("BENCH_PASSES", 8))
+    spp = int(os.environ.get("BENCH_SPP", 16))
+    lanes = int(os.environ.get("BENCH_LANES", 262144))
     config = RenderConfig(intersector="pallas", max_depth=16, tri_chunk=128)
     scene, cam = cornell_box(width=W, height=H)
 
-    @jax.jit
-    def one_pass(scene, cam, key):
-        k1, k2 = jax.random.split(key)
-        o, d = generate_rays(cam, k1)
-        rad, stats = trace(scene, o, d, k2, config, return_stats=True)
-        return rad.sum(), stats["primary"].sum() + stats["shadow"].sum()
-
     key = jax.random.PRNGKey(0)
     # warmup/compile
-    s, nrays = one_pass(scene, cam, key)
-    s.block_until_ready()
-    rays_per_pass = int(nrays)
+    img, nrays = render_regen_stats_jit(scene, cam, key, config, spp, lanes)
+    jax.block_until_ready(img)
 
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(passes):
-        s, _ = one_pass(scene, cam, jax.random.fold_in(key, i))
-        acc += s
-    jax.block_until_ready(acc)
+    img, nrays = render_regen_stats_jit(
+        scene, cam, jax.random.fold_in(key, 1), config, spp, lanes
+    )
+    jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 
-    rays_per_s = rays_per_pass * passes / dt
+    rays_per_s = int(nrays) / dt
 
     baseline = None
     bpath = os.path.join(os.path.dirname(__file__), "baselines", "cpu_baseline.json")

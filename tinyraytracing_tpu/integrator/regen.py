@@ -93,7 +93,7 @@ def render_regen(
 
     def body(state):
         (it, counter, active, path_id, bounce, org, d, ray_type,
-         throughput, radiance, img) = state
+         throughput, radiance, img, rays_traced) = state
 
         # --- regenerate dead lanes from the queue
         dead = ~active
@@ -186,10 +186,13 @@ def render_regen(
         pix = jnp.where(finished, path_id // spp, 0)
         contrib = jnp.where(finished[:, None], radiance * inv_spp, 0.0)
         img = img.at[pix].add(contrib)
+        rays_traced = rays_traced + jnp.sum(active.astype(jnp.int32)) + L * jnp.sum(
+            shade_mask.astype(jnp.int32)
+        )
         active = alive_next
 
         return (it + 1, counter, active, path_id, bounce, org, d,
-                ray_type, throughput, radiance, img)
+                ray_type, throughput, radiance, img, rays_traced)
 
     z3 = jnp.zeros((R, 3), jnp.float32)
     state = (
@@ -204,12 +207,19 @@ def render_regen(
         jnp.ones((R, 3), jnp.float32),
         z3,
         jnp.zeros((n_pix, 3), jnp.float32),
+        jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    img = state[-1]
-    return img.reshape(H, W, 3)
+    img = state[-2]
+    rays_traced = state[-1]
+    return img.reshape(H, W, 3), rays_traced
 
 
 @partial(jax.jit, static_argnames=("config", "spp", "lanes"))
 def render_regen_jit(scene, cam, key, config, spp, lanes=131072):
+    return render_regen(scene, cam, key, config, spp, lanes)[0]
+
+
+@partial(jax.jit, static_argnames=("config", "spp", "lanes"))
+def render_regen_stats_jit(scene, cam, key, config, spp, lanes=131072):
     return render_regen(scene, cam, key, config, spp, lanes)
