@@ -19,10 +19,13 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tinypt", description=__doc__)
-    p.add_argument("--basedir", required=True, help="scene base directory")
-    p.add_argument("--xml", required=True, help=".xml scene config (relative to basedir unless absolute)")
-    p.add_argument("--obj", required=True, help=".obj mesh path")
-    p.add_argument("--mtl", required=True, help=".mtl material library path")
+    p.add_argument("--basedir", default=None, help="scene base directory")
+    p.add_argument("--xml", default=None, help=".xml scene config (relative to basedir unless absolute)")
+    p.add_argument("--obj", default=None, help=".obj mesh path")
+    p.add_argument("--mtl", default=None, help=".mtl material library path")
+    p.add_argument("--scene", default=None,
+                   help="procedural scene instead of files: cornell | "
+                        "cornell-specular | grid:<n_triangles>")
     p.add_argument("--spp", type=int, default=256, help="samples per pixel (reference default 256)")
     p.add_argument("--max-depth", type=int, default=16)
     p.add_argument("--p-rr", type=float, default=0.8)
@@ -49,6 +52,8 @@ def main(argv=None) -> int:
     from tinyraytracing_tpu.utils.timing import Timer
 
     log = get_logger()
+    if args.scene is None and not (args.basedir and args.xml and args.obj and args.mtl):
+        raise SystemExit("either --scene or all of --basedir/--xml/--obj/--mtl required")
     rel = lambda p: p if os.path.isabs(p) else os.path.join(args.basedir, p)
 
     config = RenderConfig(
@@ -61,10 +66,24 @@ def main(argv=None) -> int:
         shadow_test=args.shadow_test,
     )
     with_bvh = config.intersector in ("auto", "bvh")
-    scene, cam = load_scene(
-        rel(args.xml), rel(args.obj), rel(args.mtl), args.basedir,
-        with_bvh=with_bvh,
-    )
+    if args.scene:
+        from tinyraytracing_tpu.models.procedural import (
+            cornell_box, cornell_box_specular, quad_grid,
+        )
+
+        if args.scene == "cornell":
+            scene, cam = cornell_box()
+        elif args.scene == "cornell-specular":
+            scene, cam = cornell_box_specular()
+        elif args.scene.startswith("grid:"):
+            scene, cam = quad_grid(int(args.scene.split(":")[1]))
+        else:
+            raise SystemExit(f"unknown --scene {args.scene}")
+    else:
+        scene, cam = load_scene(
+            rel(args.xml), rel(args.obj), rel(args.mtl), args.basedir,
+            with_bvh=with_bvh,
+        )
     if args.width or args.height:
         cam = dataclasses.replace(
             cam, width=args.width or cam.width, height=args.height or cam.height
@@ -77,7 +96,7 @@ def main(argv=None) -> int:
     if scene.bvh is not None:
         log.info("BVH: %d nodes", scene.bvh.n_nodes)
 
-    out = args.out or os.path.join(args.basedir, f"image{args.spp}.png")
+    out = args.out or os.path.join(args.basedir or ".", f"image{args.spp}.png")
     with Timer() as t:
         render_image(scene, cam, config, spp=args.spp, seed=args.seed, out_path=out)
     n_rays = cam.width * cam.height * args.spp
