@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=None, help="override XML image width")
     p.add_argument("--height", type=int, default=None, help="override XML image height")
-    p.add_argument("--intersector", default="auto", choices=["auto", "mxu", "brute", "bvh", "pallas"])
+    p.add_argument("--intersector", default="auto", choices=["auto", "mxu", "brute", "bvh", "pallas", "bvh_pallas"])
     p.add_argument("--light-sampler", default="ref", choices=["ref", "uniform"])
     p.add_argument("--specular-weight", default="ref", choices=["ref", "ks"])
     p.add_argument("--shadow-test", default="mtl", choices=["mtl", "tmin"])

@@ -54,7 +54,7 @@ class RenderConfig:
     # intersection
     t_min: float = 5e-4
     n_dot_d_min: float = 1e-5
-    intersector: str = "auto"    # auto | mxu | brute | bvh | pallas
+    intersector: str = "auto"    # auto | mxu | brute | bvh | pallas | bvh_pallas
     tri_chunk: int = 256         # triangle tile for the chunked brute-force scan
     tie_eps: float = 4e-6        # RELATIVE t band treated as "equal distance"
     # for the emissive tie-break (bvh.cpp:219). The reference's plane test

@@ -40,6 +40,26 @@ def _static():
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class PackedLeaves:
+    """Leaf-slot-padded BVH payload for the Pallas packet-traversal kernel
+    (ops/pallas_bvh.py): every leaf occupies exactly ``leaf_size`` triangle
+    slots so a leaf's Woop data is one contiguous static-size slice — no
+    gathers inside the kernel. Padding slots have zero rows (never hit)."""
+
+    A: jax.Array           # (3, n_leaves*3*L) woop rows, per-leaf [u|v|w] blocks
+    B: jax.Array           # (1, n_leaves*3*L) woop offsets
+    G: jax.Array           # (3, n_leaves*L) geometric normals
+    emis: jax.Array        # (1, n_leaves*L) emissive flags as f32
+    tid: jax.Array         # (n_leaves*L,) slot -> triangle index (0 for pads)
+    node_box: jax.Array    # (N, 8) f32 [minx,miny,minz,maxx,maxy,maxz,0,0]
+    node_meta: jax.Array   # (N, 2) i32 [skip, leaf_id or -1]
+    n_nodes: int = _static()
+    n_leaves: int = _static()
+    leaf_size: int = _static()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class BVHArrays:
     """Flattened stackless BVH in depth-first preorder (ops/bvh.py)."""
 
@@ -48,6 +68,7 @@ class BVHArrays:
     start: jax.Array       # (N,) first triangle of leaf range (0 if internal)
     count: jax.Array       # (N,) leaf triangle count (0 => internal node)
     skip: jax.Array        # (N,) next preorder node when skipping this subtree
+    packed: "PackedLeaves | None"
     n_nodes: int = _static()
     leaf_size: int = _static()
 
@@ -240,22 +261,31 @@ def assemble_scene(
     # optional host-side BVH permutation of the per-triangle arrays
     tv, tvn, tvt, tgn = mesh.v, mesh.vn, mesh.vt, mesh.normal
     bvh_arrays = None
+    woop_a = woop_b = None
     if bvh_host is not None:
         nodes, perm = bvh_host
         tv, tvn, tvt, tgn = tv[perm], tvn[perm], tvt[perm], tgn[perm]
         tri_mtl = tri_mtl[perm]
         tri_emissive = tri_emissive[perm]
+        woop_a, woop_b = woop_transform(tv)
+        from tinyraytracing_tpu.ops.bvh import pack_bvh_leaves
+
+        packed = pack_bvh_leaves(
+            nodes, woop_a, woop_b, tgn, tri_emissive, int(nodes["leaf_size"])
+        )
         bvh_arrays = BVHArrays(
             nmin=jnp.asarray(nodes["nmin"]),
             nmax=jnp.asarray(nodes["nmax"]),
             start=jnp.asarray(nodes["start"]),
             count=jnp.asarray(nodes["count"]),
             skip=jnp.asarray(nodes["skip"]),
+            packed=packed,
             n_nodes=int(nodes["nmin"].shape[0]),
             leaf_size=int(nodes["leaf_size"]),
         )
 
-    woop_a, woop_b = woop_transform(tv)
+    if woop_a is None:
+        woop_a, woop_b = woop_transform(tv)
 
     f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
     return Scene(

@@ -184,3 +184,66 @@ def attach_bvh(scene, config: RenderConfig):
         tri_emissive=permute(scene.tri_emissive),
         bvh=bvh,
     )
+
+
+def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size):
+    """Leaf-slot-padded payload for the Pallas packet traversal kernel
+    (ops/pallas_bvh.py; see models.scene.PackedLeaves).
+
+    Every leaf gets exactly ``leaf_size`` slots; slot k*L..k*L+count-1 hold
+    the leaf's (already permutation-ordered) triangles, the rest are zero
+    rows that can never hit. Woop inputs are the PERMUTED per-triangle
+    arrays (numpy, host side).
+    """
+    import jax.numpy as jnp
+
+    from tinyraytracing_tpu.models.scene import PackedLeaves
+
+    count = nodes["count"]
+    start = nodes["start"]
+    skip = nodes["skip"]
+    N = len(count)
+    leaf_nodes = np.nonzero(count > 0)[0]
+    n_leaves = len(leaf_nodes)
+    L = leaf_size
+    S = max(n_leaves, 1) * L
+
+    slot_tri = np.full(S, -1, np.int64)
+    leaf_id = np.full(N, -1, np.int32)
+    for k, ln in enumerate(leaf_nodes):
+        leaf_id[ln] = k
+        c = count[ln]
+        slot_tri[k * L : k * L + c] = np.arange(start[ln], start[ln] + c)
+
+    valid = slot_tri >= 0
+    idx = np.where(valid, slot_tri, 0)
+    wa = np.where(valid[:, None, None], np.asarray(woop_a, np.float64)[idx], 0.0)
+    wb = np.where(valid[:, None], np.asarray(woop_b, np.float64)[idx], 0.0)
+    g = np.where(valid[:, None], np.asarray(gn, np.float64)[idx], 0.0)
+    em = np.where(valid, np.asarray(emissive)[idx], False)
+
+    n_blk = max(n_leaves, 1)
+    # per-leaf [u|v|w] blocks, transposed for the kernel's row broadcasts
+    A = np.concatenate(
+        [wa[:, i, :].reshape(n_blk, L, 3) for i in range(3)], axis=1
+    )                                                   # (n_leaves, 3L, 3)
+    A_t = A.transpose(2, 0, 1).reshape(3, n_blk * 3 * L)
+    B_t = np.concatenate(
+        [wb[:, i].reshape(n_blk, L) for i in range(3)], axis=1
+    ).reshape(1, n_blk * 3 * L)
+    G_t = g.reshape(n_blk, L, 3).transpose(2, 0, 1).reshape(3, n_blk * L)
+    E_t = em.astype(np.float32).reshape(1, n_blk * L)
+
+    node_box = np.zeros((N, 8), np.float32)
+    node_box[:, 0:3] = nodes["nmin"]
+    node_box[:, 3:6] = nodes["nmax"]
+    node_meta = np.stack([skip.astype(np.int32), leaf_id], axis=1)
+
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    return PackedLeaves(
+        A=f32(A_t), B=f32(B_t), G=f32(G_t), emis=f32(E_t),
+        tid=jnp.asarray(np.where(valid, slot_tri, 0).astype(np.int32)),
+        node_box=jnp.asarray(node_box),
+        node_meta=jnp.asarray(node_meta),
+        n_nodes=int(N), n_leaves=int(n_blk), leaf_size=int(L),
+    )

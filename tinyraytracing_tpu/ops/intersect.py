@@ -244,10 +244,20 @@ def mxu_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
 
 
 def intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
-    """Dispatch to the configured intersector backend."""
+    """Dispatch to the configured intersector backend.
+
+    "auto" resolves per platform: on TPU the Pallas kernels (packet BVH
+    when a BVH is attached, fused brute otherwise); on CPU the XLA paths
+    (the vmapped while_loop BVH traversal is fine on CPU but measured
+    ~5K rays/s on TPU — per-lane gathers).
+    """
     backend = config.intersector
     if backend == "auto":
-        backend = "bvh" if scene.bvh is not None else "mxu"
+        on_tpu = jax.default_backend() == "tpu"
+        if scene.bvh is not None:
+            backend = "bvh_pallas" if (on_tpu and scene.bvh.packed is not None) else "bvh"
+        else:
+            backend = "pallas" if on_tpu else "mxu"
     if backend == "mxu":
         return mxu_intersect(scene, org, d, config)
     if backend == "brute":
@@ -262,4 +272,10 @@ def intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
         from tinyraytracing_tpu.ops.pallas_intersect import pallas_intersect
 
         return pallas_intersect(scene, org, d, config)
+    if backend == "bvh_pallas":
+        from tinyraytracing_tpu.ops.pallas_bvh import pallas_bvh_intersect
+
+        if scene.bvh is None or scene.bvh.packed is None:
+            raise ValueError("scene has no packed BVH (load_scene with_bvh=True)")
+        return pallas_bvh_intersect(scene, org, d, config)
     raise ValueError(f"unknown intersector {backend!r}")
