@@ -42,15 +42,23 @@ def _static():
 @dataclasses.dataclass
 class PackedLeaves:
     """Leaf-slot-padded BVH payload for the Pallas packet-traversal kernel
-    (ops/pallas_bvh.py): every leaf occupies exactly ``leaf_size`` triangle
-    slots so a leaf's Woop data is one contiguous static-size slice — no
-    gathers inside the kernel. Padding slots have zero rows (never hit)."""
+    (ops/pallas_bvh.py): every leaf occupies exactly ONE 128-lane block so
+    the kernel's per-leaf read is a single lane-aligned dynamic slice
+    ``P[:, leaf*128 : leaf*128+128]`` (Mosaic requires dynamic lane offsets
+    provably ≡ 0 mod 128). Each leaf holds up to 32 triangle slots; padding
+    slots have all-zero Woop rows (they can never register a hit).
 
-    A: jax.Array           # (3, n_leaves*3*L) woop rows, per-leaf [u|v|w] blocks
-    B: jax.Array           # (1, n_leaves*3*L) woop offsets
-    G: jax.Array           # (3, n_leaves*L) geometric normals
-    emis: jax.Array        # (1, n_leaves*L) emissive flags as f32
-    tid: jax.Array         # (n_leaves*L,) slot -> triangle index (0 for pads)
+    Block layout: 16 per-slot attributes, 4 per row; attr a of slot s sits
+    at (row a//4, lane (a%4)*32 + s):
+      [ax ay az bx | by bz cx cy | cz ou ov ow | gx gy gz em]
+    (a,b,c) = Woop u/v/w transform rows, o* = Woop offsets, g* = geometric
+    normal (grazing cull), em = emissive flag (tie-break). The kernel reads
+    each attribute as a scalar broadcast against (8, 128) ray tiles — no
+    cross-lane reductions anywhere.
+    """
+
+    P: jax.Array           # (4, n_leaves*128) f32, layout above
+    tid: jax.Array         # (n_leaves*32,) slot -> triangle index (0 for pads)
     node_box: jax.Array    # (N, 8) f32 [minx,miny,minz,maxx,maxy,maxz,0,0]
     node_meta: jax.Array   # (N, 2) i32 [skip, leaf_id or -1]
     n_nodes: int = _static()

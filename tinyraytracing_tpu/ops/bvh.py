@@ -162,12 +162,20 @@ def attach_bvh(scene, config: RenderConfig):
     )
     nodes, perm = build_bvh_host(v, config.leaf_size, config.aabb_pad)
 
+    woop_a_p = np.asarray(scene.woop_a)[perm]
+    woop_b_p = np.asarray(scene.woop_b)[perm]
+    gn_p = np.asarray(scene.gn)[perm]
+    emissive_p = np.asarray(scene.tri_emissive)[perm]
+    packed = pack_bvh_leaves(
+        nodes, woop_a_p, woop_b_p, gn_p, emissive_p, config.leaf_size
+    )
     bvh = BVHArrays(
         nmin=jnp.asarray(nodes["nmin"]),
         nmax=jnp.asarray(nodes["nmax"]),
         start=jnp.asarray(nodes["start"]),
         count=jnp.asarray(nodes["count"]),
         skip=jnp.asarray(nodes["skip"]),
+        packed=packed,
         n_nodes=int(nodes["nmin"].shape[0]),
         leaf_size=int(config.leaf_size),
     )
@@ -187,33 +195,36 @@ def attach_bvh(scene, config: RenderConfig):
 
 
 def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size):
-    """Leaf-slot-padded payload for the Pallas packet traversal kernel
-    (ops/pallas_bvh.py; see models.scene.PackedLeaves).
+    """Leaf-block payload for the Pallas packet traversal kernel
+    (ops/pallas_bvh.py; layout documented on models.scene.PackedLeaves).
 
-    Every leaf gets exactly ``leaf_size`` slots; slot k*L..k*L+count-1 hold
-    the leaf's (already permutation-ordered) triangles, the rest are zero
-    rows that can never hit. Woop inputs are the PERMUTED per-triangle
-    arrays (numpy, host side).
+    Every leaf gets one 128-lane block with 32 triangle slots (leaf_size
+    must be <= 32); slots beyond the leaf's count hold all-zero Woop rows
+    that can never hit. Inputs are the PERMUTED per-triangle arrays
+    (numpy, host side).
     """
     import jax.numpy as jnp
 
     from tinyraytracing_tpu.models.scene import PackedLeaves
 
+    if leaf_size > 32:
+        raise ValueError(f"packet kernel supports leaf_size <= 32, got {leaf_size}")
+    SLOT = 32
     count = nodes["count"]
     start = nodes["start"]
     skip = nodes["skip"]
     N = len(count)
     leaf_nodes = np.nonzero(count > 0)[0]
     n_leaves = len(leaf_nodes)
-    L = leaf_size
-    S = max(n_leaves, 1) * L
+    n_blk = max(n_leaves, 1)
+    S = n_blk * SLOT
 
     slot_tri = np.full(S, -1, np.int64)
     leaf_id = np.full(N, -1, np.int32)
     for k, ln in enumerate(leaf_nodes):
         leaf_id[ln] = k
         c = count[ln]
-        slot_tri[k * L : k * L + c] = np.arange(start[ln], start[ln] + c)
+        slot_tri[k * SLOT : k * SLOT + c] = np.arange(start[ln], start[ln] + c)
 
     valid = slot_tri >= 0
     idx = np.where(valid, slot_tri, 0)
@@ -222,28 +233,35 @@ def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size):
     g = np.where(valid[:, None], np.asarray(gn, np.float64)[idx], 0.0)
     em = np.where(valid, np.asarray(emissive)[idx], False)
 
-    n_blk = max(n_leaves, 1)
-    # per-leaf [u|v|w] blocks, transposed for the kernel's row broadcasts
-    A = np.concatenate(
-        [wa[:, i, :].reshape(n_blk, L, 3) for i in range(3)], axis=1
-    )                                                   # (n_leaves, 3L, 3)
-    A_t = A.transpose(2, 0, 1).reshape(3, n_blk * 3 * L)
-    B_t = np.concatenate(
-        [wb[:, i].reshape(n_blk, L) for i in range(3)], axis=1
-    ).reshape(1, n_blk * 3 * L)
-    G_t = g.reshape(n_blk, L, 3).transpose(2, 0, 1).reshape(3, n_blk * L)
-    E_t = em.astype(np.float32).reshape(1, n_blk * L)
+    # 16 per-slot attributes, 4 per row x 4 rows; attr a of slot s sits at
+    # (row a//4, lane (a%4)*32 + s) in the leaf's (4, 128) block:
+    #   [ax ay az bx | by bz cx cy | cz ou ov ow | gx gy gz em]
+    # where (a,b,c) are the Woop u/v/w rows, o* the offsets, g* the
+    # geometric normal (grazing cull), em the emissive flag (tie-break).
+    wa_l = wa.reshape(n_blk, SLOT, 3, 3)
+    wb_l = wb.reshape(n_blk, SLOT, 3)
+    g_l = g.reshape(n_blk, SLOT, 3)
+    attrs = [
+        wa_l[:, :, 0, 0], wa_l[:, :, 0, 1], wa_l[:, :, 0, 2], wa_l[:, :, 1, 0],
+        wa_l[:, :, 1, 1], wa_l[:, :, 1, 2], wa_l[:, :, 2, 0], wa_l[:, :, 2, 1],
+        wa_l[:, :, 2, 2], wb_l[:, :, 0], wb_l[:, :, 1], wb_l[:, :, 2],
+        g_l[:, :, 0], g_l[:, :, 1], g_l[:, :, 2],
+        em.reshape(n_blk, SLOT).astype(np.float64),
+    ]
+    P = np.zeros((n_blk, 4, 128), np.float32)
+    for a, col in enumerate(attrs):
+        P[:, a // 4, (a % 4) * SLOT : (a % 4 + 1) * SLOT] = col
+    P_t = P.transpose(1, 0, 2).reshape(4, n_blk * 128)
 
     node_box = np.zeros((N, 8), np.float32)
     node_box[:, 0:3] = nodes["nmin"]
     node_box[:, 3:6] = nodes["nmax"]
     node_meta = np.stack([skip.astype(np.int32), leaf_id], axis=1)
 
-    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
     return PackedLeaves(
-        A=f32(A_t), B=f32(B_t), G=f32(G_t), emis=f32(E_t),
+        P=jnp.asarray(P_t),
         tid=jnp.asarray(np.where(valid, slot_tri, 0).astype(np.int32)),
         node_box=jnp.asarray(node_box),
         node_meta=jnp.asarray(node_meta),
-        n_nodes=int(N), n_leaves=int(n_blk), leaf_size=int(L),
+        n_nodes=int(N), n_leaves=int(n_blk), leaf_size=int(leaf_size),
     )

@@ -3,23 +3,35 @@
 The vmapped ``while_loop`` traversal (ops/traverse.py) performs per-lane
 dynamic gathers of node data — measured ~5K rays/s on a v5e, unusable.
 This kernel instead walks the tree ONE NODE AT A TIME for a whole PACKET
-of rays (1024 lanes in lockstep), which maps onto the hardware:
+of 1024 rays (8 sublanes x 128 lanes in lockstep), which maps onto the
+hardware:
 
 - node AABB + links are SCALAR state (dynamic row reads from a VMEM node
   table — no per-lane gathers anywhere)
 - the slab test runs vectorized over the packet as (8, 128) full-tile ops
 - descend (cursor+1) when ANY lane's ray enters the box and can still
   improve its best hit; otherwise jump the skip link
-- leaves are fixed ``leaf_size``-slot blocks (models.scene.PackedLeaves),
-  so a leaf test is one contiguous static-size Woop FMA block — the same
-  math as ops/pallas_intersect.py
+- every leaf is ONE 128-lane block of up to 32 triangle slots
+  (models.scene.PackedLeaves); a leaf visit dynamically slices that block
+  (lane offset ``leaf*128`` — provably 128-aligned, which Mosaic requires)
+  and then runs a PER-SLOT loop where each triangle's 16 attributes are
+  broadcast as scalars against full (8, 128) ray tiles. This keeps the
+  entire kernel free of cross-lane reductions and (R,)->(8,128) relayouts,
+  which measured ~8us per leaf visit in the reduction-based variant vs
+  ~1us for the scalar-slot form.
+- the loop over ray tiles lives INSIDE the kernel (fori_loop) — a Pallas
+  grid dimension would re-issue the input pipeline every step, which
+  measured ~39us/tile of pure overhead vs ~20ns/iteration for the walk
+  itself. A coarse grid over 64-tile super-blocks keeps VMEM bounded.
 
 Divergence cost: a packet visits the UNION of the nodes its rays need —
 excellent for coherent (camera/shadow) packets, degrading toward brute
 force for fully incoherent bounce rays; ray sorting is the follow-up.
 
 Same acceptance rules + epsilon-banded emissive tie-break as every other
-intersector; cross-checked against them in tests/test_intersect.py.
+intersector (reference: RayTracingOnCPU/bvh.cpp:146-229); cross-checked
+against them in tests/test_intersect.py. Barycentrics (u, v) are
+cheaper than carrying two more (8, 128) tiles through the walk.
 """
 
 from __future__ import annotations
@@ -38,174 +50,181 @@ from tinyraytracing_tpu.ops.intersect import INF, Hit
 _INF = 3.0e38
 RAY_TILE = 1024
 _ROWS = RAY_TILE // 128
+SLOT = 32          # triangle slots per leaf block (PackedLeaves layout)
+SUPER_TILES = 64   # ray tiles per grid step (64 * 1024 rays = 3 MB VMEM)
 
 
-def _kernel(o_ref, d_ref, box_ref, meta_ref, a_ref, b_ref, g_ref, e_ref,
-            t_out, i_out, u_out, v_out,
-            *, n_nodes: int, L: int, t_min: float, graze: float,
-            tie_eps: float):
-    RT = o_ref.shape[0]
+def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            box_ref, meta_ref, p_ref, t_out, i_out, u_out, v_out,
+            *, n_nodes: int, n_tiles: int, L: int,
+            t_min: float, graze: float, tie_eps: float):
     shp = (_ROWS, 128)
-    ox = o_ref[:, 0].reshape(shp)
-    oy = o_ref[:, 1].reshape(shp)
-    oz = o_ref[:, 2].reshape(shp)
-    dx = d_ref[:, 0].reshape(shp)
-    dy = d_ref[:, 1].reshape(shp)
-    dz = d_ref[:, 2].reshape(shp)
-    big = jnp.float32(_INF)
-    invx = jnp.where(dx == 0.0, big, 1.0) / jnp.where(dx == 0.0, 1.0, dx)
-    invy = jnp.where(dy == 0.0, big, 1.0) / jnp.where(dy == 0.0, 1.0, dy)
-    invz = jnp.where(dz == 0.0, big, 1.0) / jnp.where(dz == 0.0, 1.0, dz)
 
-    # column vectors for the leaf FMA block
-    oxc, oyc, ozc = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]
-    dxc, dyc, dzc = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
-    lanef = jax.lax.broadcasted_iota(jnp.int32, (RT, L), 1).astype(jnp.float32)
+    def tile(ti, _):
+        r0 = ti * _ROWS
+        ox = ox_ref[pl.ds(r0, _ROWS), :]
+        oy = oy_ref[pl.ds(r0, _ROWS), :]
+        oz = oz_ref[pl.ds(r0, _ROWS), :]
+        dx = dx_ref[pl.ds(r0, _ROWS), :]
+        dy = dy_ref[pl.ds(r0, _ROWS), :]
+        dz = dz_ref[pl.ds(r0, _ROWS), :]
+        big = jnp.float32(_INF)
+        invx = jnp.where(dx == 0.0, big, 1.0) / jnp.where(dx == 0.0, 1.0, dx)
+        invy = jnp.where(dy == 0.0, big, 1.0) / jnp.where(dy == 0.0, 1.0, dy)
+        invz = jnp.where(dz == 0.0, big, 1.0) / jnp.where(dz == 0.0, 1.0, dz)
 
-    def cond(s):
-        return s[0] < n_nodes
+        def cond(s):
+            return s[0] < n_nodes
 
-    def body(s):
-        i, bt, bi, bu, bv, be = s
-        box = box_ref[pl.ds(i, 1), :]                  # (1, 8)
-        t_ax = (box[0, 0] - ox) * invx
-        t_bx = (box[0, 3] - ox) * invx
-        t_ay = (box[0, 1] - oy) * invy
-        t_by = (box[0, 4] - oy) * invy
-        t_az = (box[0, 2] - oz) * invz
-        t_bz = (box[0, 5] - oz) * invz
-        t0 = jnp.maximum(
-            jnp.maximum(jnp.minimum(t_ax, t_bx), jnp.minimum(t_ay, t_by)),
-            jnp.minimum(t_az, t_bz),
-        )
-        t1 = jnp.minimum(
-            jnp.minimum(jnp.maximum(t_ax, t_bx), jnp.maximum(t_ay, t_by)),
-            jnp.maximum(t_az, t_bz),
-        )
-        dist = jnp.where(t0 > 0.0, t0, t1)
-        hit_i = (t1 >= t0) & (dist > 0.0) & (
-            jnp.maximum(t0, 0.0) <= bt * (1.0 + tie_eps)
-        )
-        anyhit = jnp.any(hit_i)
+        def body(s):
+            i, bt, bi, bu, bv, be = s
+            box = box_ref[pl.ds(i, 1), :]              # (1, 8)
+            t_ax = (box[0, 0] - ox) * invx
+            t_bx = (box[0, 3] - ox) * invx
+            t_ay = (box[0, 1] - oy) * invy
+            t_by = (box[0, 4] - oy) * invy
+            t_az = (box[0, 2] - oz) * invz
+            t_bz = (box[0, 5] - oz) * invz
+            t0 = jnp.maximum(
+                jnp.maximum(jnp.minimum(t_ax, t_bx), jnp.minimum(t_ay, t_by)),
+                jnp.minimum(t_az, t_bz),
+            )
+            t1 = jnp.minimum(
+                jnp.minimum(jnp.maximum(t_ax, t_bx), jnp.maximum(t_ay, t_by)),
+                jnp.maximum(t_az, t_bz),
+            )
+            dist = jnp.where(t0 > 0.0, t0, t1)
+            hit_i = (t1 >= t0) & (dist > 0.0) & (
+                jnp.maximum(t0, 0.0) <= bt * (1.0 + tie_eps)
+            )
+            anyhit = jnp.any(hit_i)
 
-        skip = meta_ref[i, 0]
-        leaf = meta_ref[i, 1]
-        is_leaf = leaf >= 0
+            skip = meta_ref[i, 0]
+            leaf = meta_ref[i, 1]
+            is_leaf = leaf >= 0
 
-        def do_leaf(carry):
+            def do_leaf(carry):
+                bt, bi, bu, bv, be = carry
+                off = pl.multiple_of(jnp.maximum(leaf, 0) * 128, 128)
+                blk = p_ref[:, pl.ds(off, 128)]        # (4, 128)
+                slotbase = jnp.float32(SLOT) * leaf.astype(jnp.float32)
+                for s in range(L):
+                    # attr a lives at row a//4, lane (a%4)*32 + s
+                    g = lambda a: blk[a // 4, (a % 4) * SLOT + s]
+                    ax, ay, az, bx = g(0), g(1), g(2), g(3)
+                    by, bz, cx, cy = g(4), g(5), g(6), g(7)
+                    cz, ou, ov, ow = g(8), g(9), g(10), g(11)
+                    gx, gy, gz, em = g(12), g(13), g(14), g(15)
+
+                    ldw = dx * cx + dy * cy + dz * cz
+                    low = ox * cx + oy * cy + oz * cz + ow
+                    inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(
+                        ldw == 0.0, 1.0, ldw
+                    )
+                    t = -low * inv
+                    u = (ox * ax + oy * ay + oz * az + ou) + t * (
+                        dx * ax + dy * ay + dz * az
+                    )
+                    v = (ox * bx + oy * by + oz * bz + ov) + t * (
+                        dx * bx + dy * by + dz * bz
+                    )
+                    ndd = dx * gx + dy * gy + dz * gz
+                    ok = (
+                        (jnp.abs(ndd) >= graze)
+                        & (ldw != 0.0)
+                        & (t >= t_min)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                    )
+                    tm = jnp.where(ok, t, _INF)
+                    near = (
+                        (tm <= bt * (1.0 + tie_eps))
+                        & (bt <= tm * (1.0 + tie_eps))
+                        & (tm < _INF)
+                    )
+                    repl = (~near & (tm < bt)) | (near & (em > 0.5) & (be < 0.5))
+                    bt = jnp.where(repl, tm, bt)
+                    bi = jnp.where(repl, slotbase + s, bi)
+                    bu = jnp.where(repl, u, bu)
+                    bv = jnp.where(repl, v, bv)
+                    be = jnp.where(repl, em, be)
+                return bt, bi, bu, bv, be
+
+            carry = jax.lax.cond(
+                anyhit & is_leaf, do_leaf, lambda c: c, (bt, bi, bu, bv, be)
+            )
             bt, bi, bu, bv, be = carry
-            off3 = leaf * (3 * L)
-            off1 = leaf * L
-            a = a_ref[:, pl.ds(off3, 3 * L)]           # (3, 3L)
-            bb = b_ref[:, pl.ds(off3, 3 * L)]          # (1, 3L)
-            g = g_ref[:, pl.ds(off1, L)]               # (3, L)
-            em = e_ref[:, pl.ds(off1, L)] > 0.0        # (1, L)
+            nxt = jnp.where(anyhit & ~is_leaf, i + 1, skip)
+            return (nxt, bt, bi, bu, bv, be)
 
-            ld = dxc * a[0:1, :] + dyc * a[1:2, :] + dzc * a[2:3, :]
-            lo = oxc * a[0:1, :] + oyc * a[1:2, :] + ozc * a[2:3, :] + bb
-            ndd = dxc * g[0:1, :] + dyc * g[1:2, :] + dzc * g[2:3, :]
-            ldw = ld[:, 2 * L :]
-            inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(ldw == 0.0, 1.0, ldw)
-            t = -lo[:, 2 * L :] * inv
-            u = lo[:, :L] + t * ld[:, :L]
-            v = lo[:, L : 2 * L] + t * ld[:, L : 2 * L]
-            ok = (
-                (jnp.abs(ndd) >= graze)
-                & (ldw != 0.0)
-                & (t >= t_min)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-            )
-            tm = jnp.where(ok, t, _INF)                # (RT, L)
-
-            ct0 = jnp.min(tm, axis=1)
-            tie = (tm <= ct0[:, None] * (1.0 + tie_eps)) & (tm < _INF) & em
-            bigl = jnp.float32(1.0e9)
-            idx_e = jnp.min(jnp.where(tie, lanef, bigl), axis=1)
-            idx_m = jnp.min(jnp.where(tm == ct0[:, None], lanef, bigl), axis=1)
-            chas = idx_e < bigl
-            ci = jnp.where(chas, idx_e, idx_m)
-            sel = lanef == ci[:, None]
-            pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1)
-            ct = pick(tm).reshape(shp)
-            cu = pick(u).reshape(shp)
-            cv = pick(v).reshape(shp)
-            cid = (jnp.float32(L) * leaf.astype(jnp.float32) + ci).reshape(shp)
-            chas = chas.reshape(shp)
-            chas_f = jnp.where(chas, 1.0, 0.0)
-
-            near = (ct <= bt * (1.0 + tie_eps)) & (bt <= ct * (1.0 + tie_eps)) & (ct < _INF)
-            repl = (~near & (ct < bt)) | (near & chas & (be < 0.5))
-            return (
-                jnp.where(repl, ct, bt),
-                jnp.where(repl, cid, bi),
-                jnp.where(repl, cu, bu),
-                jnp.where(repl, cv, bv),
-                jnp.where(repl, chas_f, be),
-            )
-
-        carry = (bt, bi, bu, bv, be)
-        carry = jax.lax.cond(
-            anyhit & is_leaf, do_leaf, lambda c: c, carry
+        init = (
+            jnp.int32(0),
+            jnp.full(shp, _INF),
+            jnp.zeros(shp, jnp.float32),   # slot id carried as f32
+            jnp.zeros(shp, jnp.float32),   # barycentric u
+            jnp.zeros(shp, jnp.float32),   # barycentric v
+            jnp.zeros(shp, jnp.float32),   # best-hit-emissive flag
         )
-        bt, bi, bu, bv, be = carry
+        _, bt, bi, bu, bv, _ = jax.lax.while_loop(cond, body, init)
+        t_out[pl.ds(r0, _ROWS), :] = bt
+        i_out[pl.ds(r0, _ROWS), :] = bi.astype(jnp.int32)
+        u_out[pl.ds(r0, _ROWS), :] = bu
+        v_out[pl.ds(r0, _ROWS), :] = bv
+        return 0
 
-        nxt = jnp.where(anyhit & ~is_leaf, i + 1, skip)
-        return (nxt, bt, bi, bu, bv, be)
-
-    init = (
-        jnp.int32(0),
-        jnp.full(shp, _INF),
-        jnp.zeros(shp, jnp.float32),   # slot id carried as f32
-        jnp.zeros(shp, jnp.float32),
-        jnp.zeros(shp, jnp.float32),
-        jnp.zeros(shp, jnp.float32),
-    )
-    _, bt, bi, bu, bv, _ = jax.lax.while_loop(cond, body, init)
-    t_out[:, :] = bt
-    i_out[:, :] = bi.astype(jnp.int32)
-    u_out[:, :] = bu
-    v_out[:, :] = bv
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def pallas_bvh_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
     pk = scene.bvh.packed
-    L = pk.leaf_size
-
     R = org.shape[0]
-    RT = RAY_TILE
-    pad_r = (-R) % RT
+
+    super_rays = min(SUPER_TILES * RAY_TILE,
+                     RAY_TILE * -(-R // RAY_TILE))
+    pad_r = (-R) % super_rays
     if pad_r:
         org = jnp.pad(org, ((0, pad_r), (0, 0)))
         d = jnp.pad(d, ((0, pad_r), (0, 0)))
     Rp = org.shape[0]
-    n_tiles = Rp // RT
+    n_super = Rp // super_rays
+    tiles_per_super = super_rays // RAY_TILE
+    rows_per_super = super_rays // 128
+
+    planes = [org[:, k].reshape(-1, 128) for k in range(3)]
+    planes += [d[:, k].reshape(-1, 128) for k in range(3)]
 
     kern = functools.partial(
-        _kernel, n_nodes=pk.n_nodes, L=L,
+        _kernel, n_nodes=pk.n_nodes, n_tiles=tiles_per_super, L=pk.leaf_size,
         t_min=config.t_min, graze=config.n_dot_d_min, tie_eps=config.tie_eps,
     )
-    ray_spec = pl.BlockSpec((RT, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec(
+        (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
 
     bt, bi, bu, bv = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(n_super,),
         interpret=jax.default_backend() == "cpu",
-        in_specs=[ray_spec, ray_spec, full, full, full, full, full, full],
+        in_specs=[ray_spec] * 6 + [full, full, full],
         out_specs=[out_spec] * 4,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * _ROWS, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * _ROWS, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles * _ROWS, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * _ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
         ],
-    )(org, d, pk.node_box, pk.node_meta, pk.A, pk.B, pk.G, pk.emis)
+    )(*planes, pk.node_box, pk.node_meta, pk.P)
 
-    flat = lambda x: x.reshape(-1)[:R]
-    bt, bi, bu, bv = flat(bt), flat(bi), flat(bu), flat(bv)
+    bt = bt.reshape(-1)[:R]
+    bi = bi.reshape(-1)[:R]
+    u = bu.reshape(-1)[:R]
+    v = bv.reshape(-1)[:R]
     tri = pk.tid[jnp.clip(bi, 0, pk.tid.shape[0] - 1)]  # slot -> triangle id
-    return Hit(t=bt, idx=tri, u=bu, v=bv, hit=bt < INF)
+    hit = bt < INF
+    return Hit(t=bt, idx=tri, u=u, v=v, hit=hit)
