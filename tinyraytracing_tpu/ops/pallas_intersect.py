@@ -1,26 +1,35 @@
-"""Pallas TPU kernel: fused Woop-matmul intersection + closest-hit reduce.
+"""Pallas TPU kernel: brute-force intersection, scalar-slot form.
 
-The XLA mxu backend (ops/intersect.py) materializes (R, 3C) matmul outputs
-and several (R, C) temporaries in HBM per triangle chunk — at 262k rays
-that is ~3 GB of traffic per intersect. This kernel keeps the whole
-pipeline in VMEM per ray tile:
+For scenes up to a few thousand triangles (the reference's cornell-box and
+veach-mis class) brute force beats a BVH walk on a vector machine — IF the
+kernel is written against the hardware's grain correctly. Two earlier
+generations of this kernel were each ~10-30x off the mark:
 
-    for each tile of RT rays (grid):
-        for each chunk of C triangles (fori, triangle data VMEM-resident):
-            lo/ld  = ray x Woop-transform matmuls (MXU, f32)
-            t,u,v  = epilogue (VPU)
-            closest-hit + epsilon-banded emissive tie-break (VPU reduce)
-        write 5 per-ray scalars
+1. MXU matmul form: a Precision.HIGHEST f32 dot_general decomposes into
+   multiple MXU passes whose systolic fill overhead dwarfs a 3-deep
+   contraction (~30ms/call).
+2. VPU broadcast-FMA + cross-lane closest-hit reduce: the (RT, C) lane
+   reductions and (RT,)->(8,128) relayouts cost ~8us per chunk, and the
+   per-ray-tile Pallas grid step adds ~39us of pipeline overhead.
 
-HBM traffic: rays in (R*24B), results out (R*20B), triangles once — the
-kernel is compute-bound on the MXU/VPU instead of bandwidth-bound.
+This form has NO cross-lane operation anywhere: triangles are tested one
+slot at a time, each slot's 16 attributes broadcast as SMEM SCALAR LOADS
+against full (8, 128) ray tiles, with a running elementwise best-hit
+update — the same shape as the leaf test in ops/pallas_bvh.py. (Reading
+the same scalars by lane-extraction from a VMEM vector measured ~40ns per
+extract — 14x slower end to end; SMEM scalar loads are ~free.) The loop
+over ray tiles lives inside the kernel (fori), and triangles stream
+through an unrolled 32-slot inner loop per chunk. Everything is
+straight-line (8, 128) VPU code: measured 636 Mrays/s on the 32-triangle
+cornell box (50 ns per slot per 1024-ray packet).
 
-Semantics identical to mxu_intersect (same acceptance rules + tie band);
-cross-checked in tests/test_intersect.py.
+SMEM holds ~1 MB, so this path caps at ~480 chunks (15K triangles); the
+auto dispatcher switches to the BVH packet kernel far earlier anyway.
 
-Triangle layout (host-side prep, cached on the Scene object): per chunk of
-C triangles, matmul matrix columns are BLOCK-ordered [C u-rows | C v-rows |
-C w-rows] so the (RT, 3C) product slices into contiguous (RT, C) planes.
+Acceptance rules identical to ops/intersect.py (t >= 5e-4 per
+RayTracingOnCPU/bvh.cpp:189, |gn.d| >= 1e-5 per bvh.cpp:185, epsilon-
+banded emissive tie-break per bvh.cpp:219); cross-checked in
+tests/test_intersect.py.
 """
 
 from __future__ import annotations
@@ -37,163 +46,172 @@ from tinyraytracing_tpu.config import RenderConfig
 from tinyraytracing_tpu.models.scene import Scene
 from tinyraytracing_tpu.ops.intersect import INF, Hit
 
-_INF = 3.0e38  # plain python float: jnp scalars would be captured consts in the kernel
+_INF = 3.0e38  # plain python float: jnp scalars would be captured consts
 
-DEFAULT_RAY_TILE = 1024  # 8 sublane-rows x 128 lanes
-
-
-def _prep_triangles(scene: Scene, C: int):
-    """Chunk-blocked triangle tensors (host-side layout, jit-constant)."""
-    T = scene.v0.shape[0]
-    n_chunks = -(-T // C)
-    Tp = n_chunks * C
-
-    def pad(x, value=0.0):
-        pad_width = [(0, Tp - T)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad_width, constant_values=value)
-
-    # A_t: (3, n_chunks*3C) with per-chunk [u|v|w] blocks
-    wa = pad(scene.woop_a)                       # (Tp, 3, 3)
-    blocks = [wa[:, i, :].reshape(n_chunks, C, 3) for i in range(3)]
-    A = jnp.concatenate(blocks, axis=1)          # (n_chunks, 3C, 3)
-    A_t = A.transpose(2, 0, 1).reshape(3, n_chunks * 3 * C)
-    wb = pad(scene.woop_b)                       # (Tp, 3)
-    Bb = jnp.concatenate(
-        [wb[:, i].reshape(n_chunks, C) for i in range(3)], axis=1
-    ).reshape(1, n_chunks * 3 * C)
-    G_t = pad(scene.gn).reshape(n_chunks, C, 3).transpose(2, 0, 1).reshape(3, Tp)
-    emis = pad(scene.tri_emissive.astype(jnp.float32)).reshape(1, Tp)
-    return A_t, Bb, G_t, emis, n_chunks, Tp
+RAY_TILE = 1024
+_ROWS = RAY_TILE // 128
+SLOT = 32          # triangles per 128-lane chunk block
+SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
 
 
-def _kernel(o_ref, d_ref, a_ref, b_ref, g_ref, e_ref,
-            t_out, i_out, u_out, v_out, eh_out,
-            *, n_chunks: int, C: int, t_min: float, graze: float,
-            tie_eps: float):
-    RT = o_ref.shape[0]
-    o = o_ref[:]                                  # (RT, 3)
-    d = d_ref[:]
-    # f32 lane ids (int iota then cast — tpu.iota is integer-only):
-    # Mosaic only supports f32 index reductions, so "argmin" is expressed
-    # as min over masked f32 lane ids.
-    lanef = jax.lax.broadcasted_iota(jnp.int32, (RT, C), 1).astype(jnp.float32)
+def pack_triangle_slots(woop_a, woop_b, gn, emissive):
+    """(4, n_chunks*128) slot blocks: 16 attrs x 32 slots per chunk, attr a
+    of slot s at (row a//4, lane (a%4)*32 + s) — the PackedLeaves layout
+    with chunk c holding triangles [c*32, c*32+32). Identity slot->triangle
+    mapping; padding slots are all-zero rows (can never hit). Pure jnp so
+    it traces under jit (XLA folds it — inputs are jit constants)."""
+    T = woop_a.shape[0]
+    n_chunks = max(-(-T // SLOT), 1)
+    Tp = n_chunks * SLOT
 
-    def chunk(k, carry):
-        bt, bi, bu, bv, be = carry
-        a = a_ref[:, pl.ds(k * 3 * C, 3 * C)]     # (3, 3C)
-        bb = b_ref[:, pl.ds(k * 3 * C, 3 * C)]    # (1, 3C)
-        g = g_ref[:, pl.ds(k * C, C)]             # (3, C)
-        em = e_ref[:, pl.ds(k * C, C)] > 0.0      # (1, C)
+    def pad(x):
+        return jnp.pad(x, [(0, Tp - T)] + [(0, 0)] * (x.ndim - 1))
 
-        # K=3 "matmuls" as three broadcast FMAs on the VPU: a
-        # Precision.HIGHEST f32 dot_general decomposes into multiple MXU
-        # passes whose systolic fill overhead dwarfs the 3-deep
-        # contraction (measured ~30ms/call vs <2ms this way).
-        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]      # (RT, 1)
-        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-        ld = dx * a[0:1, :] + dy * a[1:2, :] + dz * a[2:3, :]   # (RT, 3C)
-        lo = ox * a[0:1, :] + oy * a[1:2, :] + oz * a[2:3, :] + bb
-        ndd = dx * g[0:1, :] + dy * g[1:2, :] + dz * g[2:3, :]  # (RT, C)
+    wa = pad(woop_a.astype(jnp.float32)).reshape(n_chunks, SLOT, 3, 3)
+    wb = pad(woop_b.astype(jnp.float32)).reshape(n_chunks, SLOT, 3)
+    g = pad(gn.astype(jnp.float32)).reshape(n_chunks, SLOT, 3)
+    em = pad(emissive.astype(jnp.float32)).reshape(n_chunks, SLOT)
+    attrs = [
+        wa[:, :, 0, 0], wa[:, :, 0, 1], wa[:, :, 0, 2], wa[:, :, 1, 0],
+        wa[:, :, 1, 1], wa[:, :, 1, 2], wa[:, :, 2, 0], wa[:, :, 2, 1],
+        wa[:, :, 2, 2], wb[:, :, 0], wb[:, :, 1], wb[:, :, 2],
+        g[:, :, 0], g[:, :, 1], g[:, :, 2], em,
+    ]
+    rows = [
+        jnp.concatenate(attrs[r * 4 : r * 4 + 4], axis=1)  # (n_chunks, 128)
+        for r in range(4)
+    ]
+    P = jnp.stack(rows, axis=0).reshape(4, n_chunks * 128)
+    return P, n_chunks
 
-        ldw = ld[:, 2 * C :]
-        inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(ldw == 0.0, 1.0, ldw)
-        t = -lo[:, 2 * C :] * inv
-        u = lo[:, :C] + t * ld[:, :C]
-        v = lo[:, C : 2 * C] + t * ld[:, C : 2 * C]
-        ok = (
-            (jnp.abs(ndd) >= graze)
-            & (ldw != 0.0)
-            & (t >= t_min)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
+
+def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, p_ref,
+            t_out, i_out, u_out, v_out,
+            *, n_chunks: int, n_tiles: int,
+            t_min: float, graze: float, tie_eps: float):
+    shp = (_ROWS, 128)
+
+    def tile(ti, _):
+        r0 = ti * _ROWS
+        ox = ox_ref[pl.ds(r0, _ROWS), :]
+        oy = oy_ref[pl.ds(r0, _ROWS), :]
+        oz = oz_ref[pl.ds(r0, _ROWS), :]
+        dx = dx_ref[pl.ds(r0, _ROWS), :]
+        dy = dy_ref[pl.ds(r0, _ROWS), :]
+        dz = dz_ref[pl.ds(r0, _ROWS), :]
+
+        def chunk(k, carry):
+            bt, bi, bu, bv, be = carry
+            base = k * 128
+            slotbase = jnp.float32(SLOT) * k.astype(jnp.float32)
+            for s in range(SLOT):
+                # SMEM scalar loads: attr a of slot s at flat index
+                # (a//4)*stride + k*128 + (a%4)*32 + s
+                g = lambda a: p_ref[a // 4, base + (a % 4) * SLOT + s]
+                ax, ay, az, bx = g(0), g(1), g(2), g(3)
+                by, bz, cx, cy = g(4), g(5), g(6), g(7)
+                cz, ou, ov, ow = g(8), g(9), g(10), g(11)
+                gx, gy, gz, em = g(12), g(13), g(14), g(15)
+
+                ldw = dx * cx + dy * cy + dz * cz
+                low = ox * cx + oy * cy + oz * cz + ow
+                inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(
+                    ldw == 0.0, 1.0, ldw
+                )
+                t = -low * inv
+                u = (ox * ax + oy * ay + oz * az + ou) + t * (
+                    dx * ax + dy * ay + dz * az
+                )
+                v = (ox * bx + oy * by + oz * bz + ov) + t * (
+                    dx * bx + dy * by + dz * bz
+                )
+                ndd = dx * gx + dy * gy + dz * gz
+                ok = (
+                    (jnp.abs(ndd) >= graze)
+                    & (ldw != 0.0)
+                    & (t >= t_min)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                )
+                tm = jnp.where(ok, t, _INF)
+                near = (
+                    (tm <= bt * (1.0 + tie_eps))
+                    & (bt <= tm * (1.0 + tie_eps))
+                    & (tm < _INF)
+                )
+                repl = (~near & (tm < bt)) | (near & (em > 0.5) & (be < 0.5))
+                bt = jnp.where(repl, tm, bt)
+                bi = jnp.where(repl, slotbase + s, bi)
+                bu = jnp.where(repl, u, bu)
+                bv = jnp.where(repl, v, bv)
+                be = jnp.where(repl, em, be)
+            return bt, bi, bu, bv, be
+
+        init = (
+            jnp.full(shp, _INF),
+            jnp.zeros(shp, jnp.float32),   # triangle id carried as f32
+            jnp.zeros(shp, jnp.float32),
+            jnp.zeros(shp, jnp.float32),
+            jnp.zeros(shp, jnp.float32),   # best-hit-emissive flag
         )
-        tm = jnp.where(ok, t, _INF)
+        bt, bi, bu, bv, _ = jax.lax.fori_loop(0, n_chunks, chunk, init)
+        t_out[pl.ds(r0, _ROWS), :] = bt
+        i_out[pl.ds(r0, _ROWS), :] = bi.astype(jnp.int32)
+        u_out[pl.ds(r0, _ROWS), :] = bu
+        v_out[pl.ds(r0, _ROWS), :] = bv
+        return 0
 
-        ct0 = jnp.min(tm, axis=1)                  # (RT,)
-        tie = (tm <= ct0[:, None] * (1.0 + tie_eps)) & (tm < _INF) & em
-        big = jnp.float32(1.0e9)
-        idx_emis = jnp.min(jnp.where(tie, lanef, big), axis=1)
-        idx_min = jnp.min(jnp.where(tm == ct0[:, None], lanef, big), axis=1)
-        chas = idx_emis < big
-        chas_f = jnp.where(chas, 1.0, 0.0)  # bool carries trip Mosaic i1 casts
-        ci_f = jnp.where(chas, idx_emis, idx_min)
-        sel = lanef == ci_f[:, None]
-        pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1)
-        ct = pick(tm)
-        cu = pick(u)
-        cv = pick(v)
-        cid = k * C + ci_f.astype(jnp.int32)
-
-        near = (ct <= bt * (1.0 + tie_eps)) & (bt <= ct * (1.0 + tie_eps)) & (ct < _INF)
-        repl = (~near & (ct < bt)) | (near & chas & (be < 0.5))
-        return (
-            jnp.where(repl, ct, bt),
-            jnp.where(repl, cid.astype(jnp.int32), bi),
-            jnp.where(repl, cu, bu),
-            jnp.where(repl, cv, bv),
-            jnp.where(repl, chas_f, be),
-        )
-
-    init = (
-        jnp.full((RT,), _INF),
-        jnp.zeros((RT,), jnp.int32),
-        jnp.zeros((RT,), jnp.float32),
-        jnp.zeros((RT,), jnp.float32),
-        jnp.zeros((RT,), jnp.float32),  # emissive flag as f32 (Mosaic i1 limits)
-    )
-    bt, bi, bu, bv, be = jax.lax.fori_loop(0, n_chunks, chunk, init)
-    t_out[:, :] = bt.reshape(RT // 128, 128)
-    i_out[:, :] = bi.reshape(RT // 128, 128)
-    u_out[:, :] = bu.reshape(RT // 128, 128)
-    v_out[:, :] = bv.reshape(RT // 128, 128)
-    eh_out[:, :] = be.astype(jnp.int32).reshape(RT // 128, 128)
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def pallas_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
-    C = config.tri_chunk
     T = scene.v0.shape[0]
-    A_t, Bb, G_t, emis, n_chunks, Tp = _prep_triangles(scene, C)
+    P, n_chunks = pack_triangle_slots(
+        scene.woop_a, scene.woop_b, scene.gn, scene.tri_emissive
+    )
 
     R = org.shape[0]
-    RT = DEFAULT_RAY_TILE
-    pad_r = (-R) % RT
+    super_rays = min(SUPER_TILES * RAY_TILE, RAY_TILE * -(-R // RAY_TILE))
+    pad_r = (-R) % super_rays
     if pad_r:
-        # zero-direction padding rays can never hit (grazing cull)
         org = jnp.pad(org, ((0, pad_r), (0, 0)))
         d = jnp.pad(d, ((0, pad_r), (0, 0)))
     Rp = org.shape[0]
+    n_super = Rp // super_rays
+    tiles_per_super = super_rays // RAY_TILE
+    rows_per_super = super_rays // 128
+
+    planes = [org[:, k].reshape(-1, 128) for k in range(3)]
+    planes += [d[:, k].reshape(-1, 128) for k in range(3)]
 
     kern = functools.partial(
-        _kernel, n_chunks=n_chunks, C=C,
+        _kernel, n_chunks=n_chunks, n_tiles=tiles_per_super,
         t_min=config.t_min, graze=config.n_dot_d_min, tie_eps=config.tie_eps,
     )
-    n_tiles = Rp // RT
-    rows = RT // 128  # output rows per program
-    grid = (n_tiles,)
-    ray_spec = pl.BlockSpec((RT, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array resident
-    # outputs as (Rp/128, 128) row blocks: Mosaic wants the last two block
-    # dims divisible by (8, 128)
-    out_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec(
+        (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
 
-    bt, bi, bu, bv, be = pl.pallas_call(
+    bt, bi, bu, bv = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(n_super,),
         interpret=jax.default_backend() == "cpu",  # tests run on CPU
-        in_specs=[ray_spec, ray_spec, tri_spec, tri_spec, tri_spec, tri_spec],
-        out_specs=[out_spec] * 5,
+        in_specs=[ray_spec] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[out_spec] * 4,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * rows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles * rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
         ],
-    )(org, d, A_t, Bb, G_t, emis)
+    )(*planes, P)
 
     flat = lambda x: x.reshape(-1)[:R]
     bt, bi, bu, bv = flat(bt), flat(bi), flat(bu), flat(bv)
-    bi = jnp.minimum(bi, T - 1)  # padded-chunk ids can't win, but clamp anyway
+    bi = jnp.minimum(bi, T - 1)  # padded-slot ids can't win, but clamp anyway
     return Hit(t=bt, idx=bi, u=bu, v=bv, hit=bt < INF)
