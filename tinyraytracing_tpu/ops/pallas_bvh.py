@@ -184,23 +184,25 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def pallas_bvh_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
+def pallas_bvh_intersect_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
+                                config: RenderConfig):
+    """Planar entry: six (R,) component planes in, (t, idx, u, v) planes out.
+    See ops/pallas_intersect.py pallas_intersect_planes for rationale."""
     pk = scene.bvh.packed
-    R = org.shape[0]
+    R = ox.shape[0]
 
     super_rays = min(SUPER_TILES * RAY_TILE,
                      RAY_TILE * -(-R // RAY_TILE))
     pad_r = (-R) % super_rays
+    comps = [ox, oy, oz, dx, dy, dz]
     if pad_r:
-        org = jnp.pad(org, ((0, pad_r), (0, 0)))
-        d = jnp.pad(d, ((0, pad_r), (0, 0)))
-    Rp = org.shape[0]
+        comps = [jnp.pad(c, (0, pad_r)) for c in comps]
+    Rp = comps[0].shape[0]
     n_super = Rp // super_rays
     tiles_per_super = super_rays // RAY_TILE
     rows_per_super = super_rays // 128
 
-    planes = [org[:, k].reshape(-1, 128) for k in range(3)]
-    planes += [d[:, k].reshape(-1, 128) for k in range(3)]
+    planes = [c.reshape(-1, 128) for c in comps]
 
     kern = functools.partial(
         _kernel, n_nodes=pk.n_nodes, n_tiles=tiles_per_super, L=pk.leaf_size,
@@ -238,4 +240,12 @@ def pallas_bvh_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
     flat = lambda x: x.reshape(-1)[:R]
     bt, bi, u, v = flat(bt), flat(bi), flat(bu), flat(bv)
     tri = pk.tid[jnp.clip(bi, 0, pk.tid.shape[0] - 1)]  # slot -> triangle id
+    return bt, tri, u, v
+
+
+def pallas_bvh_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
+    bt, tri, u, v = pallas_bvh_intersect_planes(
+        scene, org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        config,
+    )
     return Hit(t=bt, idx=tri, u=u, v=v, hit=bt < INF)

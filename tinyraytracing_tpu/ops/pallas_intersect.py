@@ -165,26 +165,29 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, p_ref,
     jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def pallas_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
+def pallas_intersect_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
+                            config: RenderConfig):
+    """Planar entry: six (R,) component planes in, planar hit out —
+    (t, idx, u, v) each (R,). Skips all (R, 3) marshalling so callers that
+    already carry state as component planes (integrator/planar.py) pay no
+    relayout on either side of the kernel."""
     T = scene.v0.shape[0]
     P, n_chunks = pack_triangle_slots(
         scene.woop_a, scene.woop_b, scene.gn, scene.tri_emissive
     )
 
-    R = org.shape[0]
+    R = ox.shape[0]
     super_rays = min(SUPER_TILES * RAY_TILE, RAY_TILE * -(-R // RAY_TILE))
     pad_r = (-R) % super_rays
+    comps = [ox, oy, oz, dx, dy, dz]
     if pad_r:
-        org = jnp.pad(org, ((0, pad_r), (0, 0)))
-        d = jnp.pad(d, ((0, pad_r), (0, 0)))
-    Rp = org.shape[0]
+        comps = [jnp.pad(c, (0, pad_r)) for c in comps]
+    Rp = comps[0].shape[0]
     n_super = Rp // super_rays
     tiles_per_super = super_rays // RAY_TILE
     rows_per_super = super_rays // 128
 
-    planes = [org[:, k].reshape(-1, 128) for k in range(3)]
-    planes += [d[:, k].reshape(-1, 128) for k in range(3)]
+    planes = [c.reshape(-1, 128) for c in comps]
 
     kern = functools.partial(
         _kernel, n_chunks=n_chunks, n_tiles=tiles_per_super,
@@ -214,4 +217,13 @@ def pallas_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
     flat = lambda x: x.reshape(-1)[:R]
     bt, bi, bu, bv = flat(bt), flat(bi), flat(bu), flat(bv)
     bi = jnp.minimum(bi, T - 1)  # padded-slot ids can't win, but clamp anyway
+    return bt, bi, bu, bv
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def pallas_intersect(scene: Scene, org, d, config: RenderConfig) -> Hit:
+    bt, bi, bu, bv = pallas_intersect_planes(
+        scene, org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        config,
+    )
     return Hit(t=bt, idx=bi, u=bu, v=bv, hit=bt < INF)
