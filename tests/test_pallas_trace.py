@@ -1,0 +1,168 @@
+"""Fused trace kernel (ops/pallas_trace.py) + gather-free lookups
+(ops/lookup.py) + fused renderer (integrator/fused.py).
+
+The kernel's contract: identical hit set to every other intersector
+(reference acceptance rules, RayTracingOnCPU/bvh.cpp:146-229) AND the
+barycentric-interpolated shading attributes equal to what the integrator
+previously computed with XLA gathers from (t, idx, u, v).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyraytracing_tpu.config import RenderConfig
+from tinyraytracing_tpu.ops.lookup import chain_lookup, chain_lookup_planes
+
+CFG = RenderConfig(intersector="bvh")
+
+
+def _rays(rng, n, center=(0.0, 0.5, 2.0), spread=0.2):
+    org = rng.uniform(-1, 1, (n, 3)) * spread + np.asarray(center)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(org, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def _reference_attrs(scene, hit):
+    """Shading attributes the old way: gathers from (idx, u, v)."""
+    idx = np.asarray(hit.idx)
+    u = np.asarray(hit.u)
+    v = np.asarray(hit.v)
+    w = 1.0 - u - v
+    interp = lambda a, b, c: (
+        np.asarray(a)[idx] * w[:, None]
+        + np.asarray(b)[idx] * u[:, None]
+        + np.asarray(c)[idx] * v[:, None]
+    )
+    return dict(
+        pn=interp(scene.n0, scene.n1, scene.n2),
+        tc=interp(scene.t0, scene.t1, scene.t2)[:, :2],
+        mtl=np.asarray(scene.tri_mtl)[idx],
+        em=np.asarray(scene.tri_emissive)[idx],
+    )
+
+
+def _check_fused(scene, org, d, cfg):
+    from tinyraytracing_tpu.ops.intersect import intersect
+    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
+
+    hit = intersect(scene, org, d, cfg)
+    t, pnx, pny, pnz, tcu, tcv, mtl, em = fused_trace_planes(
+        scene, org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        cfg, force_kernel=True,   # interpret-mode kernel, not the CPU fallback
+    )
+    t_ref = np.asarray(hit.t)
+    t_new = np.asarray(t)
+    h = t_ref < 1e38
+    assert np.array_equal(h, t_new < 1e38), "hit sets differ"
+    np.testing.assert_allclose(t_new[h], t_ref[h], rtol=1e-5, atol=1e-6)
+
+    ref = _reference_attrs(scene, hit)
+    pn_new = np.stack([pnx, pny, pnz], -1)
+    tc_new = np.stack([tcu, tcv], -1)
+    np.testing.assert_allclose(pn_new[h], ref["pn"][h], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(tc_new[h], ref["tc"][h], rtol=1e-4, atol=1e-4)
+    assert np.array_equal(np.asarray(mtl)[h].astype(np.int32), ref["mtl"][h])
+    assert np.array_equal(np.asarray(em)[h] > 0.5, ref["em"][h])
+
+
+def test_fused_trace_matches_gather_path(test_scene_bvh, rng):
+    scene, _ = test_scene_bvh
+    org, d = _rays(rng, 512)
+    _check_fused(scene, org, d, CFG)
+
+
+def test_fused_trace_hbm_node_variant(test_scene_bvh, rng, monkeypatch):
+    """Force the HBM-node-record kernel (used when the tree exceeds the
+    SMEM budget) and check it against the same reference."""
+    import tinyraytracing_tpu.ops.pallas_trace as ptr
+
+    monkeypatch.setattr(ptr, "SMEM_NODE_LIMIT", 0)
+    scene, _ = test_scene_bvh
+    org, d = _rays(rng, 256)
+    _check_fused(scene, org, d, CFG)
+
+
+def test_fused_trace_on_cornell_synth(rng):
+    from tinyraytracing_tpu.models.procedural import cornell_box
+    from tinyraytracing_tpu.ops.bvh import attach_bvh
+
+    scene, cam = cornell_box(width=32, height=32)
+    scene = attach_bvh(scene, CFG)
+    org, d = _rays(rng, 384, center=(278, 273, -500), spread=100.0)
+    _check_fused(scene, org, d, CFG)
+
+
+def test_chain_lookup_matches_indexing(rng):
+    tab = jnp.asarray(rng.normal(size=(7, 3)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 7, size=(50,)), jnp.int32)
+    np.testing.assert_array_equal(chain_lookup(tab, idx), tab[idx])
+    planes = chain_lookup_planes(tab, idx)
+    for c in range(3):
+        np.testing.assert_array_equal(planes[c], tab[idx, c])
+    # float-carried indices (the fused kernel returns mtl as f32)
+    idx_f = idx.astype(jnp.float32)
+    np.testing.assert_array_equal(chain_lookup(tab, idx_f), tab[idx])
+    # big tables fall back to a real gather
+    big = jnp.asarray(rng.normal(size=(200, 2)), jnp.float32)
+    bidx = jnp.asarray(rng.integers(0, 200, size=(31,)), jnp.int32)
+    np.testing.assert_array_equal(chain_lookup(big, bidx), big[bidx])
+
+
+def test_fused_renderer_matches_scan_statistically(test_scene_paths):
+    """The fused renderer must agree with the differentiable scan renderer
+    in expectation (same estimator, different scheduling + RNG streams)."""
+    from tinyraytracing_tpu.models.scene import load_scene
+    from tinyraytracing_tpu.integrator.fused import render_fused_jit
+    from tinyraytracing_tpu.render import render
+
+    p = test_scene_paths
+    scene, cam = load_scene(p["xml"], p["obj"], p["mtl"], p["basedir"],
+                            with_bvh=True)
+    cam = dataclasses.replace(cam, width=24, height=24)
+    cfg = RenderConfig(intersector="bvh", max_depth=8)
+    a = np.asarray(render(scene, cam, jax.random.PRNGKey(0), cfg, spp=16))
+    b = np.asarray(
+        render_fused_jit(scene, cam, jax.random.PRNGKey(3), cfg, 16, lanes=512)
+    )
+    assert np.all(np.isfinite(b))
+    # MC agreement: means within noise, high correlation
+    assert abs(a.mean() - b.mean()) < 0.15 * max(a.mean(), 1e-6)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.9
+
+
+def test_fused_renderer_deterministic(test_scene_bvh):
+    from tinyraytracing_tpu.integrator.fused import render_fused_jit
+
+    scene, cam = test_scene_bvh
+    cam = dataclasses.replace(cam, width=16, height=16)
+    cfg = RenderConfig(intersector="bvh", max_depth=4)
+    a = np.asarray(render_fused_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=256))
+    b = np.asarray(render_fused_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=256))
+    c = np.asarray(render_fused_jit(scene, cam, jax.random.PRNGKey(9), cfg, 4, lanes=256))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_fused_renderer_pixel_range(test_scene_bvh):
+    """pix_base / n_pix_render must render the same rows as the full image
+    (the contract tile-sharding relies on)."""
+    from tinyraytracing_tpu.integrator.fused import render_fused
+
+    scene, cam = test_scene_bvh
+    cam = dataclasses.replace(cam, width=16, height=16)
+    cfg = RenderConfig(intersector="bvh", max_depth=4)
+    key = jax.random.PRNGKey(2)
+    full, _ = jax.jit(
+        lambda k: render_fused(scene, cam, k, cfg, 4, lanes=128)
+    )(key)
+    half, _ = jax.jit(
+        lambda k: render_fused(scene, cam, k, cfg, 4, lanes=128,
+                               pix_base=128, n_pix_render=128)
+    )(key)
+    np.testing.assert_array_equal(np.asarray(half)[:128], np.asarray(full)[128:256])

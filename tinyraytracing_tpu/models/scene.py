@@ -59,8 +59,21 @@ class PackedLeaves:
 
     P: jax.Array           # (4, n_leaves*128) f32, layout above
     tid: jax.Array         # (n_leaves*32,) slot -> triangle index (0 for pads)
-    node_box: jax.Array    # (N, 8) f32 [minx,miny,minz,maxx,maxy,maxz,0,0]
+    node_box: jax.Array    # (N, 8) f32 [minx,miny,minz,maxx,maxy,maxz,skip,leaf]
+    #   cols 6/7 carry skip/leaf_id as exact f32 so the HBM-node variant of
+    #   the fused kernel fetches a whole node in ONE (8,) DMA record
     node_meta: jax.Array   # (N, 2) i32 [skip, leaf_id or -1]
+    # --- fused-trace payload (ops/pallas_trace.py) ---
+    # PS stacks the intersect block P (rows 0-3) with a SHADING block S
+    # (rows 4-7) so one leaf visit is ONE (8, 128) DMA. S layout (attr a of
+    # slot s at (row 4 + a//4, lane (a%4)*32 + s)):
+    #   [n0x n0y n0z n1x | n1y n1z n2x n2y | n2z t0u t0v t1u | t1v t2u t2v mtl]
+    # i.e. the three shading normals, three texcoord pairs, and the material
+    # id — everything shade() needs, interpolated IN KERNEL at hit time so
+    # the integrator never gathers per-triangle data (XLA per-lane gathers
+    # measured ~12 ns/element = 85% of the round-1 render; SMEM scalar loads
+    # are free).
+    PS: jax.Array          # (8, n_leaves*128) f32
     n_nodes: int = _static()
     n_leaves: int = _static()
     leaf_size: int = _static()
@@ -279,7 +292,10 @@ def assemble_scene(
         from tinyraytracing_tpu.ops.bvh import pack_bvh_leaves
 
         packed = pack_bvh_leaves(
-            nodes, woop_a, woop_b, tgn, tri_emissive, int(nodes["leaf_size"])
+            nodes, woop_a, woop_b, tgn, tri_emissive, int(nodes["leaf_size"]),
+            n0=tvn[:, 0], n1=tvn[:, 1], n2=tvn[:, 2],
+            t0=tvt[:, 0], t1=tvt[:, 1], t2=tvt[:, 2],
+            mtl=tri_mtl,
         )
         bvh_arrays = BVHArrays(
             nmin=jnp.asarray(nodes["nmin"]),

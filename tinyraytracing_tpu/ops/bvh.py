@@ -167,7 +167,12 @@ def attach_bvh(scene, config: RenderConfig):
     gn_p = np.asarray(scene.gn)[perm]
     emissive_p = np.asarray(scene.tri_emissive)[perm]
     packed = pack_bvh_leaves(
-        nodes, woop_a_p, woop_b_p, gn_p, emissive_p, config.leaf_size
+        nodes, woop_a_p, woop_b_p, gn_p, emissive_p, config.leaf_size,
+        n0=np.asarray(scene.n0)[perm], n1=np.asarray(scene.n1)[perm],
+        n2=np.asarray(scene.n2)[perm],
+        t0=np.asarray(scene.t0)[perm], t1=np.asarray(scene.t1)[perm],
+        t2=np.asarray(scene.t2)[perm],
+        mtl=np.asarray(scene.tri_mtl)[perm],
     )
     bvh = BVHArrays(
         nmin=jnp.asarray(nodes["nmin"]),
@@ -194,14 +199,22 @@ def attach_bvh(scene, config: RenderConfig):
     )
 
 
-def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size):
-    """Leaf-block payload for the Pallas packet traversal kernel
-    (ops/pallas_bvh.py; layout documented on models.scene.PackedLeaves).
+def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size,
+                    n0=None, n1=None, n2=None, t0=None, t1=None, t2=None,
+                    mtl=None):
+    """Leaf-block payload for the Pallas traversal kernels (layouts
+    documented on models.scene.PackedLeaves).
 
     Every leaf gets one 128-lane block with 32 triangle slots (leaf_size
     must be <= 32); slots beyond the leaf's count hold all-zero Woop rows
     that can never hit. Inputs are the PERMUTED per-triangle arrays
     (numpy, host side).
+
+    The optional shading arrays (per-vertex normals (T, 3), texcoords
+    (T, 2), material id (T,)) fill the S rows of the fused-trace payload
+    ``PS``; when omitted they are zeros (old packet kernel still works,
+    fused kernel would shade garbage — callers that render via
+    ops/pallas_trace.py must pass them).
     """
     import jax.numpy as jnp
 
@@ -253,9 +266,44 @@ def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size):
         P[:, a // 4, (a % 4) * SLOT : (a % 4 + 1) * SLOT] = col
     P_t = P.transpose(1, 0, 2).reshape(4, n_blk * 128)
 
+    # S rows of the fused-trace payload: shading normals, texcoords, mtl id
+    def lane(tab, comp=None):
+        a = np.asarray(tab, np.float64)
+        a = a[idx] if comp is None else a[idx, comp]
+        return np.where(valid, a, 0.0).reshape(n_blk, SLOT)
+
+    zeros = np.zeros((n_blk, SLOT))
+    s_attrs = [
+        lane(n0, 0) if n0 is not None else zeros,
+        lane(n0, 1) if n0 is not None else zeros,
+        lane(n0, 2) if n0 is not None else zeros,
+        lane(n1, 0) if n1 is not None else zeros,
+        lane(n1, 1) if n1 is not None else zeros,
+        lane(n1, 2) if n1 is not None else zeros,
+        lane(n2, 0) if n2 is not None else zeros,
+        lane(n2, 1) if n2 is not None else zeros,
+        lane(n2, 2) if n2 is not None else zeros,
+        lane(t0, 0) if t0 is not None else zeros,
+        lane(t0, 1) if t0 is not None else zeros,
+        lane(t1, 0) if t1 is not None else zeros,
+        lane(t1, 1) if t1 is not None else zeros,
+        lane(t2, 0) if t2 is not None else zeros,
+        lane(t2, 1) if t2 is not None else zeros,
+        lane(mtl) if mtl is not None else zeros,
+    ]
+    Sb = np.zeros((n_blk, 4, 128), np.float32)
+    for a, col in enumerate(s_attrs):
+        Sb[:, a // 4, (a % 4) * SLOT : (a % 4 + 1) * SLOT] = col
+    S_t = Sb.transpose(1, 0, 2).reshape(4, n_blk * 128)
+    PS = np.concatenate([P_t, S_t], axis=0)          # (8, n_blk*128)
+
     node_box = np.zeros((N, 8), np.float32)
     node_box[:, 0:3] = nodes["nmin"]
     node_box[:, 3:6] = nodes["nmax"]
+    # cols 6/7: skip & leaf_id as exact f32 (N < 2^24) so the HBM-node
+    # fused-kernel variant fetches a whole node in one (8,) DMA
+    node_box[:, 6] = skip.astype(np.float32)
+    node_box[:, 7] = leaf_id.astype(np.float32)
     node_meta = np.stack([skip.astype(np.int32), leaf_id], axis=1)
 
     return PackedLeaves(
@@ -263,5 +311,6 @@ def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size):
         tid=jnp.asarray(np.where(valid, slot_tri, 0).astype(np.int32)),
         node_box=jnp.asarray(node_box),
         node_meta=jnp.asarray(node_meta),
+        PS=jnp.asarray(PS),
         n_nodes=int(N), n_leaves=int(n_blk), leaf_size=int(leaf_size),
     )

@@ -1,0 +1,357 @@
+"""Pallas TPU kernel: FUSED packet BVH traversal + hit-attribute shading.
+
+Round-1 profiling showed the render loop spending ~85% of device time in
+XLA per-lane gathers of per-triangle attributes (shading normals,
+texcoords, material ids) AFTER the intersection kernel returned (t, idx):
+every gather of 262K elements costs ~2-4 ms on a v5e regardless of table
+size, and the shade path needs ~15 of them per bounce. The intersection
+kernel itself was 3% of the render.
+
+This kernel removes the gathers entirely: the leaf payload carries a
+second 4-row block of SHADING attributes per triangle slot (PackedLeaves.PS
+— per-vertex normals, texcoords, material id), and the per-slot loop
+best-updates the barycentric-INTERPOLATED shading normal and texcoord plus
+the material/emissive ids alongside the hit distance. Attribute reads are
+SMEM scalar loads (~free — see ops/pallas_intersect.py for the measured
+layout rules); the interpolation is straight-line (8, 128) VPU code. The
+integrator that consumes this kernel (integrator/fused.py) then runs with
+ZERO per-triangle gathers — remaining table lookups (materials, light
+triangles) chain over tiny tables as fused selects (ops/lookup.py).
+
+Memory plan (both validated by microbenchmark on v5e — serialized
+2 KB HBM->SMEM DMAs with a data-dependent walk measured ~20-50 ns/visit):
+
+- leaf payload PS lives in ANY (compiler: VMEM when small, HBM when big)
+  and each leaf visit DMAs its (8, 128) block into SMEM scratch — this
+  lifts round-1's ~190K-triangle VMEM residency cap (BASELINE.md).
+- node tables: SMEM flat arrays by default (fast scalar loads); for trees
+  beyond the ~10K-node SMEM budget the ``nodes_in_smem=False`` variant
+  keeps the (N, 8) f32 node records (box + skip/leaf encoded as exact f32
+  in cols 6/7) in ANY/HBM and DMAs one record per node visit.
+
+Traversal semantics identical to ops/pallas_bvh.py (skip-link walk, union
+descend, epsilon-banded emissive tie-break per RayTracingOnCPU/bvh.cpp:219,
+t_min 5e-4 per bvh.cpp:189, grazing cull 1e-5 per bvh.cpp:185);
+cross-checked against the other intersectors in tests/test_pallas_trace.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinyraytracing_tpu.config import RenderConfig
+from tinyraytracing_tpu.models.scene import Scene
+
+_INF = 3.0e38
+RAY_TILE = 1024
+_ROWS = RAY_TILE // 128
+SLOT = 32          # triangle slots per leaf block (PackedLeaves layout)
+SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
+
+# node count beyond which the node tables move from SMEM to HBM records
+SMEM_NODE_LIMIT = 8192
+
+
+def _walk(ox, oy, oz, dx, dy, dz, read_node, ps_ref, scratch, sem,
+          *, n_nodes, L, t_min, graze, tie_eps):
+    """One ray packet's tree walk; returns best (t, pn, tc, mtl, em)."""
+    shp = ox.shape
+    big = jnp.float32(_INF)
+    invx = jnp.where(dx == 0.0, big, 1.0) / jnp.where(dx == 0.0, 1.0, dx)
+    invy = jnp.where(dy == 0.0, big, 1.0) / jnp.where(dy == 0.0, 1.0, dy)
+    invz = jnp.where(dz == 0.0, big, 1.0) / jnp.where(dz == 0.0, 1.0, dz)
+
+    def cond(s):
+        return s[0] < n_nodes
+
+    def body(s):
+        (i, bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem) = s
+        bx0, by0, bz0, bx1, by1, bz1, skip, leaf = read_node(i)
+        t_ax = (bx0 - ox) * invx
+        t_bx = (bx1 - ox) * invx
+        t_ay = (by0 - oy) * invy
+        t_by = (by1 - oy) * invy
+        t_az = (bz0 - oz) * invz
+        t_bz = (bz1 - oz) * invz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(t_ax, t_bx), jnp.minimum(t_ay, t_by)),
+            jnp.minimum(t_az, t_bz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(t_ax, t_bx), jnp.maximum(t_ay, t_by)),
+            jnp.maximum(t_az, t_bz),
+        )
+        dist = jnp.where(t0 > 0.0, t0, t1)
+        hit_i = (t1 >= t0) & (dist > 0.0) & (
+            jnp.maximum(t0, 0.0) <= bt * (1.0 + tie_eps)
+        )
+        anyhit = jnp.any(hit_i)
+        is_leaf = leaf >= 0
+
+        def do_leaf(carry):
+            bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem = carry
+            off = pl.multiple_of(jnp.maximum(leaf, 0) * 128, 128)
+            dma = pltpu.make_async_copy(
+                ps_ref.at[:, pl.ds(off, 128)], scratch, sem
+            )
+            dma.start()
+            dma.wait()
+            for s in range(L):
+                # P attr a at (a//4, (a%4)*32 + s); S attr at row 4 + a//4
+                g = lambda a: scratch[a // 4, (a % 4) * SLOT + s]
+                h = lambda a: scratch[4 + a // 4, (a % 4) * SLOT + s]
+                ax, ay, az, bx = g(0), g(1), g(2), g(3)
+                by, bz, cx, cy = g(4), g(5), g(6), g(7)
+                cz, ou, ov, ow = g(8), g(9), g(10), g(11)
+                gx, gy, gz, em = g(12), g(13), g(14), g(15)
+
+                ldw = dx * cx + dy * cy + dz * cz
+                low = ox * cx + oy * cy + oz * cz + ow
+                inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(
+                    ldw == 0.0, 1.0, ldw
+                )
+                t = -low * inv
+                u = (ox * ax + oy * ay + oz * az + ou) + t * (
+                    dx * ax + dy * ay + dz * az
+                )
+                v = (ox * bx + oy * by + oz * bz + ov) + t * (
+                    dx * bx + dy * by + dz * bz
+                )
+                ndd = dx * gx + dy * gy + dz * gz
+                ok = (
+                    (jnp.abs(ndd) >= graze)
+                    & (ldw != 0.0)
+                    & (t >= t_min)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                )
+                tm = jnp.where(ok, t, _INF)
+                near = (
+                    (tm <= bt * (1.0 + tie_eps))
+                    & (bt <= tm * (1.0 + tie_eps))
+                    & (tm < _INF)
+                )
+                repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
+
+                # interpolated shading attributes (replaces the integrator's
+                # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
+                w = 1.0 - u - v
+                n0x, n0y, n0z, n1x = h(0), h(1), h(2), h(3)
+                n1y, n1z, n2x, n2y = h(4), h(5), h(6), h(7)
+                n2z, t0u, t0v, t1u = h(8), h(9), h(10), h(11)
+                t1v, t2u, t2v, mt = h(12), h(13), h(14), h(15)
+                pnx = n0x * w + n1x * u + n2x * v
+                pny = n0y * w + n1y * u + n2y * v
+                pnz = n0z * w + n1z * u + n2z * v
+                tcu = t0u * w + t1u * u + t2u * v
+                tcv = t0v * w + t1v * u + t2v * v
+
+                bt = jnp.where(repl, tm, bt)
+                bpnx = jnp.where(repl, pnx, bpnx)
+                bpny = jnp.where(repl, pny, bpny)
+                bpnz = jnp.where(repl, pnz, bpnz)
+                btcu = jnp.where(repl, tcu, btcu)
+                btcv = jnp.where(repl, tcv, btcv)
+                bmtl = jnp.where(repl, mt, bmtl)
+                bem = jnp.where(repl, em, bem)
+            return bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem
+
+        carry = (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem)
+        carry = jax.lax.cond(anyhit & is_leaf, do_leaf, lambda c: c, carry)
+        nxt = jnp.where(anyhit & ~is_leaf, i + 1, skip)
+        return (nxt,) + carry
+
+    zero = jnp.zeros(shp, jnp.float32)
+    init = (jnp.int32(0), jnp.full(shp, _INF), zero, zero, zero + 1.0,
+            zero, zero, zero, zero)
+    out = jax.lax.while_loop(cond, body, init)
+    return out[1:]
+
+
+def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 box_ref, meta_ref, ps_ref,
+                 t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
+                 mtl_out, em_out, scratch, sem,
+                 *, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+    def read_node(i):
+        b = i * 8
+        return (box_ref[b + 0], box_ref[b + 1], box_ref[b + 2],
+                box_ref[b + 3], box_ref[b + 4], box_ref[b + 5],
+                meta_ref[i * 2], meta_ref[i * 2 + 1])
+
+    def tile(ti, _):
+        r0 = ti * _ROWS
+        args = [r[pl.ds(r0, _ROWS), :]
+                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)]
+        bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
+            *args, read_node, ps_ref, scratch, sem,
+            n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+        )
+        sl = (pl.ds(r0, _ROWS), slice(None))
+        t_out[sl] = bt
+        pnx_out[sl] = pnx
+        pny_out[sl] = pny
+        pnz_out[sl] = pnz
+        tcu_out[sl] = tcu
+        tcv_out[sl] = tcv
+        mtl_out[sl] = mtl
+        em_out[sl] = em
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                node_ref, ps_ref,
+                t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
+                mtl_out, em_out, scratch, nscratch, sem, nsem,
+                *, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+    def read_node(i):
+        dma = pltpu.make_async_copy(node_ref.at[i], nscratch, nsem)
+        dma.start()
+        dma.wait()
+        return (nscratch[0], nscratch[1], nscratch[2],
+                nscratch[3], nscratch[4], nscratch[5],
+                nscratch[6].astype(jnp.int32),
+                nscratch[7].astype(jnp.int32))
+
+    def tile(ti, _):
+        r0 = ti * _ROWS
+        args = [r[pl.ds(r0, _ROWS), :]
+                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)]
+        bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
+            *args, read_node, ps_ref, scratch, sem,
+            n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+        )
+        sl = (pl.ds(r0, _ROWS), slice(None))
+        t_out[sl] = bt
+        pnx_out[sl] = pnx
+        pny_out[sl] = pny
+        pnz_out[sl] = pnz
+        tcu_out[sl] = tcu
+        tcv_out[sl] = tcv
+        mtl_out[sl] = mtl
+        em_out[sl] = em
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz,
+                           config: RenderConfig):
+    """Pure-JAX reference implementation of the fused trace: the while_loop
+    BVH intersector + XLA gathers of the shading attributes. Used (a) on
+    CPU, where per-lane gathers are cheap and kernel interpret mode is
+    minutes-per-call, and (b) as the oracle in tests/test_pallas_trace.py."""
+    from tinyraytracing_tpu.ops.intersect import intersect
+
+    org = jnp.stack([ox, oy, oz], axis=-1)
+    d = jnp.stack([dx, dy, dz], axis=-1)
+    hit = intersect(scene, org, d, config)
+    u, v = hit.u, hit.v
+    w = 1.0 - u - v
+    idx = hit.idx
+    interp = lambda a, b, c, k: a[idx, k] * w + b[idx, k] * u + c[idx, k] * v
+    pn = [interp(scene.n0, scene.n1, scene.n2, k) for k in range(3)]
+    tc = [interp(scene.t0, scene.t1, scene.t2, k) for k in range(2)]
+    mtl = scene.tri_mtl[idx].astype(jnp.float32)
+    em = scene.tri_emissive[idx].astype(jnp.float32)
+    miss = ~hit.hit
+    zero = jnp.zeros_like(hit.t)
+    pn = (jnp.where(miss, 0.0, pn[0]), jnp.where(miss, 0.0, pn[1]),
+          jnp.where(miss, 1.0, pn[2]))
+    return (hit.t, pn[0], pn[1], pn[2],
+            jnp.where(miss, 0.0, tc[0]), jnp.where(miss, 0.0, tc[1]),
+            jnp.where(miss, 0.0, mtl), jnp.where(miss, 0.0, em))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "force_kernel"))
+def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
+                       config: RenderConfig, force_kernel: bool = False):
+    """Fused closest-hit + shading-attribute trace.
+
+    Planar in, planar out: six (R,) ray component planes -> a tuple of
+    (t, pn_x, pn_y, pn_z, tc_u, tc_v, mtl, em) (R,) planes. ``pn`` is the
+    UNNORMALIZED barycentric-interpolated shading normal (the integrator
+    normalizes once), ``tc`` the interpolated texcoord, ``mtl`` the material
+    id carried as f32, ``em`` the hit triangle's emissive flag. Misses have
+    t = INF (3e38) and pn = (0, 0, 1).
+
+    On CPU backends dispatches to the pure-JAX reference path unless
+    ``force_kernel`` (tests) — Pallas interpret mode re-interprets the walk
+    per call, minutes per invocation.
+    """
+    if jax.default_backend() == "cpu" and not force_kernel:
+        return _fused_trace_reference(scene, ox, oy, oz, dx, dy, dz, config)
+    pk = scene.bvh.packed
+    R = ox.shape[0]
+
+    super_rays = min(SUPER_TILES * RAY_TILE, RAY_TILE * -(-R // RAY_TILE))
+    pad_r = (-R) % super_rays
+    comps = [ox, oy, oz, dx, dy, dz]
+    if pad_r:
+        comps = [jnp.pad(c, (0, pad_r)) for c in comps]
+    Rp = comps[0].shape[0]
+    n_super = Rp // super_rays
+    tiles_per_super = super_rays // RAY_TILE
+    rows_per_super = super_rays // 128
+
+    planes = [c.reshape(-1, 128) for c in comps]
+
+    nodes_in_smem = pk.n_nodes <= SMEM_NODE_LIMIT
+    common = dict(
+        n_nodes=pk.n_nodes, n_tiles=tiles_per_super, L=pk.leaf_size,
+        t_min=config.t_min, graze=config.n_dot_d_min, tie_eps=config.tie_eps,
+    )
+    ray_spec = pl.BlockSpec(
+        (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32)] * 8
+
+    if nodes_in_smem:
+        kern = functools.partial(_kernel_smem, **common)
+        extra_in = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes, flat f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node meta, flat i32
+            pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
+        ]
+        extra_args = (pk.node_box.reshape(-1), pk.node_meta.reshape(-1), pk.PS)
+        scratch = [
+            pltpu.SMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kern = functools.partial(_kernel_hbm, **common)
+        extra_in = [
+            pl.BlockSpec(memory_space=pl.ANY),       # node records (N, 8)
+            pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
+        ]
+        extra_args = (pk.node_box, pk.PS)
+        scratch = [
+            pltpu.SMEM((8, 128), jnp.float32),
+            pltpu.SMEM((8,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_super,),
+        interpret=jax.default_backend() == "cpu",    # tests run on CPU
+        in_specs=[ray_spec] * 6 + extra_in,
+        out_specs=[out_spec] * 8,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(*planes, *extra_args)
+
+    flat = lambda x: x.reshape(-1)[:R]
+    return tuple(flat(o) for o in outs)
