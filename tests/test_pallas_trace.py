@@ -149,9 +149,11 @@ def test_fused_renderer_deterministic(test_scene_bvh):
     assert not np.array_equal(a, c)
 
 
-def test_fused_renderer_pixel_range(test_scene_bvh):
-    """pix_base / n_pix_render must render the same rows as the full image
-    (the contract tile-sharding relies on)."""
+def test_fused_renderer_slot_range(test_scene_bvh):
+    """slot_base / n_slots must render bitwise the same slot rows as the
+    full image — the contract tile-sharding relies on, guaranteed by the
+    path-indexed RNG (randomness is a function of (path_id, bounce) only,
+    never of the lane/epoch/shard a pixel lands on)."""
     from tinyraytracing_tpu.integrator.fused import render_fused
 
     scene, cam = test_scene_bvh
@@ -163,6 +165,6 @@ def test_fused_renderer_pixel_range(test_scene_bvh):
     )(key)
     half, _ = jax.jit(
         lambda k: render_fused(scene, cam, k, cfg, 4, lanes=128,
-                               pix_base=128, n_pix_render=128)
+                               slot_base=128, n_slots=128)
     )(key)
     np.testing.assert_array_equal(np.asarray(half)[:128], np.asarray(full)[128:256])

@@ -76,3 +76,49 @@ def test_uneven_spp(scene_cam):
     mesh = make_mesh(n_tile=2, n_spp=4)
     img = np.asarray(render_sharded(scene, cam, jax.random.PRNGKey(4), CFG, mesh, spp=5))
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+# ---------------------------------------------------------------------------
+# sharded FUSED renderer (the fast path)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def scene_cam_bvh():
+    from tinyraytracing_tpu.ops.bvh import attach_bvh
+
+    scene, cam = cornell_box(width=32, height=32)
+    return attach_bvh(scene, RenderConfig()), cam
+
+
+def test_fused_sharded_bitwise_matches_single_device(scene_cam_bvh):
+    """Path-indexed RNG makes the fused renderer's output a function of
+    (pixel, sample) only — so 8-way tile sharding must be BITWISE equal to
+    the single-device render (SURVEY §5: same seed => bitwise-equal image
+    across shardings)."""
+    from tinyraytracing_tpu.integrator.fused import render_fused_jit
+    from tinyraytracing_tpu.parallel.mesh import render_fused_sharded
+
+    scene, cam = scene_cam_bvh
+    cfg = RenderConfig(intersector="bvh", max_depth=4)
+    key = jax.random.PRNGKey(5)
+    single = np.asarray(render_fused_jit(scene, cam, key, cfg, 4, lanes=512))
+    for n_tile in (8, 4):
+        mesh = make_mesh(n_tile=n_tile, n_spp=8 // n_tile)
+        img, rays = render_fused_sharded(scene, cam, key, cfg, 4, mesh, lanes=512)
+        np.testing.assert_array_equal(np.asarray(img), single)
+        assert float(rays) > 0
+
+
+def test_fused_sharded_uneven_pixels(scene_cam_bvh):
+    """Pixel count not divisible by the device count."""
+    from tinyraytracing_tpu.integrator.fused import render_fused_jit
+    from tinyraytracing_tpu.parallel.mesh import render_fused_sharded
+
+    scene, cam = scene_cam_bvh
+    cam = dataclasses.replace(cam, width=20, height=13)  # 260 = 4*65
+    cfg = RenderConfig(intersector="bvh", max_depth=3)
+    key = jax.random.PRNGKey(6)
+    single = np.asarray(render_fused_jit(scene, cam, key, cfg, 2, lanes=256))
+    mesh = make_mesh(n_tile=8, n_spp=1)
+    img, _ = render_fused_sharded(scene, cam, key, cfg, 2, mesh, lanes=256)
+    np.testing.assert_array_equal(np.asarray(img), single)

@@ -56,6 +56,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tinyraytracing_tpu.config import (
     CAMERA,
@@ -261,6 +262,33 @@ def _nee_geometry(scene, config, l, point, pn, wi, kd_val, ks, ns,
 # the renderer
 # ---------------------------------------------------------------------------
 
+def pixel_tile_order(W: int, H: int, tile: int = 32):
+    """Static pixel visitation order: 32x32 image tiles in row-major tile
+    order, row-major within each tile. The fused kernel walks the BVH for
+    1024-lane packets in lockstep (the packet visits the UNION of its
+    rays' nodes), and 1024 consecutive lanes in plain row-major order span
+    two full image rows — a worst-case union. In tile order a packet is a
+    compact 32x32 pixel block. Returns (order, inv): order[slot] = pixel,
+    inv[pixel] = slot.
+    """
+    ys, xs = np.mgrid[0:H, 0:W]
+    key = (
+        ((ys // tile) * ((W + tile - 1) // tile) + (xs // tile)).ravel()
+        * (tile * tile)
+        + (ys % tile).ravel() * tile
+        + (xs % tile).ravel()
+    )
+    order = np.argsort(key, kind="stable").astype(np.int32)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.size, dtype=np.int32)
+    return order, inv
+
+
+# parked rays: origin far outside any scene AABB so the packet slab test
+# rejects every node and dead lanes never drag a packet through the tree
+_FAR = 1.0e30
+
+
 def render_fused(
     scene,
     cam: Camera,
@@ -269,18 +297,22 @@ def render_fused(
     spp: int,
     lanes: int = 262144,
     max_iters: int | None = None,
-    pix_base=0,
-    n_pix_render: int | None = None,
+    slot_base=0,
+    n_slots: int | None = None,
 ):
     """Render with the fused pixel-persistent wavefront.
 
-    Returns ((n_pix_render_padded, 3) flat linear image rows starting at
-    pixel ``pix_base``, traced_ray_count as float32). The top-level helpers
-    below reshape to (H, W, 3) for the whole-image case.
+    Lanes serve pixels in 32x32-TILE order (``pixel_tile_order``): lane l of
+    epoch e serves pixel order[slot_base + e*R + l]. Returns the flat
+    (n_slots_padded, 3) linear image in SLOT order plus the traced-ray count
+    (float32); use ``pixel_tile_order(W, H)[1]`` (or the whole-image helpers
+    below) to unswizzle to pixel order once at the end.
 
-    ``pix_base`` (may be traced — e.g. a shard offset under shard_map) and
-    ``n_pix_render`` (static) select a pixel range, enabling tile-sharded
-    multi-chip rendering where every device runs its own epochs.
+    ``slot_base`` (may be traced — e.g. a shard offset under shard_map) and
+    ``n_slots`` (static) select a slot range, enabling tile-sharded
+    multi-chip rendering where every device runs its own epochs over its
+    own slice of the image's tiles. RNG is path-indexed, so the rendered
+    values are bitwise independent of the slot partitioning.
 
     Requires ``scene.bvh`` with a packed PS payload (load_scene(
     with_bvh=True) or ops.bvh.attach_bvh). The ray counter accumulates in
@@ -291,13 +323,17 @@ def render_fused(
 
     W, H = cam.width, cam.height
     n_pix_total = W * H
-    if n_pix_render is None:
-        n_pix_render = n_pix_total
-    R = min(lanes, n_pix_render)
+    if n_slots is None:
+        n_slots = n_pix_total
+    R = min(lanes, n_slots)
     R = -(-R // 128) * 128                           # full lane tiles
-    n_epochs = -(-n_pix_render // R)
+    n_epochs = -(-n_slots // R)
     if max_iters is None:
         max_iters = int(spp * (1.0 / (1.0 - config.p_rr)) * 3) + config.max_depth + 9
+
+    order_np = pixel_tile_order(W, H)[0]
+    # pad by R so every epoch's dynamic_slice window stays in bounds
+    order = jnp.asarray(np.concatenate([order_np, np.zeros(R, np.int32)]))
 
     eye, horizontal, vertical, llc = camera_basis(cam)
     inv_spp = jnp.float32(1.0 / spp)
@@ -336,8 +372,9 @@ def render_fused(
     def epoch(e, carry):
         img, rays_traced = carry
         lane = jnp.arange(R, dtype=jnp.int32)
-        pixel = pix_base + e * R + lane
-        in_range = (lane + e * R < n_pix_render) & (pixel < n_pix_total)
+        slot = slot_base + e * R + lane
+        in_range = (lane + e * R < n_slots) & (slot < n_pix_total)
+        pixel = jax.lax.dynamic_slice(order, (slot_base + e * R,), (R,))
 
         def cond(s):
             it = s[0]
@@ -368,11 +405,18 @@ def render_fused(
             samples_done = samples_done + can.astype(jnp.int32)
             active = active | can
 
+            # park dead lanes far outside the scene: a parked ray fails the
+            # root AABB test, so fully-dead packets cost one node visit and
+            # partially-dead packets stop inflating the node/leaf union
+            far = jnp.full(shape, _FAR, jnp.float32)
+            far3 = (far, far, far)
+            o = vec.where(active, o, far3)
+
             # --- ONE fused trace: [bounce rays | L shadow-ray groups]
             cat = lambda main, sh: jnp.concatenate([main] + sh)
-            ox = cat(o[0], [sh_o[0]] * L)
-            oy = cat(o[1], [sh_o[1]] * L)
-            oz = cat(o[2], [sh_o[2]] * L)
+            ox = cat(o[0], [sh_o[l][0] for l in range(L)])
+            oy = cat(o[1], [sh_o[l][1] for l in range(L)])
+            oz = cat(o[2], [sh_o[l][2] for l in range(L)])
             dx = cat(d[0], [sh_d[l][0] for l in range(L)])
             dy = cat(d[1], [sh_d[l][1] for l in range(L)])
             dz = cat(d[2], [sh_d[l][2] for l in range(L)])
@@ -436,7 +480,9 @@ def render_fused(
 
             # --- queue THIS bounce's NEE (resolves next iteration)
             # pre-scale by throughput: the pending term is final once visible
-            new_pend_ok, new_pend_c, new_pend_dist, new_sh_d = [], [], [], []
+            new_pend_ok, new_pend_c, new_pend_dist = [], [], []
+            new_sh_o, new_sh_d = [], []
+            up = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
             for l in range(L):
                 wo, contrib, distl, okl = _nee_geometry(
                     scene, config, l, point, pn, wi, kd_val, ks, ns,
@@ -447,9 +493,10 @@ def render_fused(
                 new_pend_ok.append(okl)
                 new_pend_c.append(vec.mul(thr, contrib))
                 new_pend_dist.append(distl)
-                fallback = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
-                new_sh_d.append(vec.where(okl, wo, fallback))
-            sh_o = point
+                # park non-pending shadow lanes (see bounce-leg parking)
+                new_sh_o.append(vec.where(okl, point, far3))
+                new_sh_d.append(vec.where(okl, wo, up))
+            sh_o = tuple(new_sh_o)
             pend_ok = tuple(new_pend_ok)
             pend_c = tuple(new_pend_c)
             pend_dist = tuple(new_pend_dist)
@@ -500,6 +547,7 @@ def render_fused(
         one = jnp.ones(shape, jnp.float32)
         z3 = (zero, zero, zero)
         up = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
+        farp = jnp.full(shape, _FAR, jnp.float32)
         state = (
             jnp.int32(0),
             jnp.zeros(shape, bool),              # active
@@ -511,7 +559,7 @@ def render_fused(
             (one, one, one),                     # throughput
             z3,                                  # radiance (emissive terms)
             z3,                                  # accum
-            z3,                                  # sh_o
+            tuple((farp, farp, farp) for _ in range(L)),  # sh_o (parked)
             tuple(up for _ in range(L)),         # sh_d
             tuple(jnp.zeros(shape, bool) for _ in range(L)),   # pend_ok
             tuple(z3 for _ in range(L)),         # pend_c
@@ -536,7 +584,9 @@ def render_fused(
 def _whole_image(scene, cam, key, config, spp, lanes):
     img, rays = render_fused(scene, cam, key, config, spp, lanes)
     W, H = cam.width, cam.height
-    return img[: W * H].reshape(H, W, 3), rays
+    # slot order -> pixel order: one gather, once per render
+    _, inv = pixel_tile_order(W, H)
+    return img[jnp.asarray(inv)].reshape(H, W, 3), rays
 
 
 @partial(jax.jit, static_argnames=("config", "spp", "lanes"))

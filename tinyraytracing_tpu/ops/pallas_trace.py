@@ -212,14 +212,19 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
                 mtl_out, em_out, scratch, nscratch, sem, nsem,
                 *, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+    # node_ref is (ceil(N/16), 128): 16 nodes of 8 f32 per 128-lane row
+    # (HBM slices must be 128-lane aligned, so single-record DMAs are out);
+    # a node visit DMAs its whole row — a free 15-node neighborhood cache
+    # would be possible, but even re-fetching per visit measured ~20 ns.
     def read_node(i):
-        dma = pltpu.make_async_copy(node_ref.at[i], nscratch, nsem)
+        dma = pltpu.make_async_copy(node_ref.at[i // 16], nscratch, nsem)
         dma.start()
         dma.wait()
-        return (nscratch[0], nscratch[1], nscratch[2],
-                nscratch[3], nscratch[4], nscratch[5],
-                nscratch[6].astype(jnp.int32),
-                nscratch[7].astype(jnp.int32))
+        b = (i % 16) * 8
+        return (nscratch[b + 0], nscratch[b + 1], nscratch[b + 2],
+                nscratch[b + 3], nscratch[b + 4], nscratch[b + 5],
+                nscratch[b + 6].astype(jnp.int32),
+                nscratch[b + 7].astype(jnp.int32))
 
     def tile(ti, _):
         r0 = ti * _ROWS
@@ -332,13 +337,18 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     else:
         kern = functools.partial(_kernel_hbm, **common)
         extra_in = [
-            pl.BlockSpec(memory_space=pl.ANY),       # node records (N, 8)
+            pl.BlockSpec(memory_space=pl.ANY),       # node rows (N/16, 128)
             pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
         ]
-        extra_args = (pk.node_box, pk.PS)
+        n_rows = -(-pk.n_nodes // 16)
+        node_rows = jnp.pad(
+            pk.node_box.reshape(-1),
+            (0, n_rows * 128 - pk.n_nodes * 8),
+        ).reshape(n_rows, 128)
+        extra_args = (node_rows, pk.PS)
         scratch = [
             pltpu.SMEM((8, 128), jnp.float32),
-            pltpu.SMEM((8,), jnp.float32),
+            pltpu.SMEM((128,), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]

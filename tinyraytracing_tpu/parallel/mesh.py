@@ -113,3 +113,67 @@ def render_sharded(
     if mesh is None:
         mesh = make_mesh()
     return _render_sharded_jit(scene, cam, key, config, spp or config.spp, mesh)
+
+
+# ---------------------------------------------------------------------------
+# sharded FUSED renderer (the fast path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config", "spp", "mesh", "lanes"))
+def _render_fused_sharded_jit(scene, cam, key, config, spp, mesh, lanes):
+    """Tile-shard the fused pixel-persistent renderer: every device runs its
+    own epochs over a contiguous range of image-tile SLOTS (32x32 pixel
+    tiles, integrator.fused.pixel_tile_order) against the replicated scene,
+    then the slot images are reassembled. The fused renderer's RNG is
+    path-indexed, so the result is BITWISE equal to the single-device
+    render for any mesh shape (tests/test_parallel.py)."""
+    from jax.experimental.shard_map import shard_map
+
+    from tinyraytracing_tpu.integrator.fused import (
+        pixel_tile_order,
+        render_fused,
+    )
+
+    W, H = cam.width, cam.height
+    n_pix = W * H
+    D = mesh.devices.size
+    n_slots_dev = -(-n_pix // (128 * D)) * 128       # 128-aligned per device
+    lanes_dev = min(lanes, n_slots_dev)
+
+    def body(scene, cam, key):
+        tile_i = jax.lax.axis_index("tile")
+        img, rays = render_fused(
+            scene, cam, key, config, spp,
+            lanes=lanes_dev,
+            slot_base=tile_i * n_slots_dev,
+            n_slots=n_slots_dev,
+        )
+        return img[:n_slots_dev], jax.lax.psum(rays, "tile")
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("tile",))
+    fn = shard_map(
+        body,
+        mesh=flat_mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("tile"), P()),
+        check_rep=False,
+    )
+    img_slots, rays = fn(scene, cam, key)
+    _, inv = pixel_tile_order(W, H)
+    img = img_slots[jnp.asarray(inv)].reshape(H, W, 3)
+    return img, rays
+
+
+def render_fused_sharded(
+    scene: Scene,
+    cam: Camera,
+    key,
+    config: RenderConfig,
+    spp: int,
+    mesh: Mesh | None = None,
+    lanes: int = 262144,
+):
+    """Multi-chip fused render; returns ((H, W, 3) image, traced rays)."""
+    if mesh is None:
+        mesh = make_mesh()
+    return _render_fused_sharded_jit(scene, cam, key, config, spp, mesh, lanes)
