@@ -66,17 +66,147 @@ def test_radiance_grad_matches_fd(setup):
     assert float(an) == pytest.approx(float(fd), rel=0.05, abs=1e-5)
 
 
-def test_camera_grads_finite_nonzero(setup):
-    f, p0 = _loss_fn(setup, "eye")
-    g = np.asarray(jax.grad(f)(p0.eye))
-    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+def _fd_check(f, x0, seed, eps, rel, n_dirs=3, mask=None):
+    """Directional-derivative check vs central finite differences.
+
+    BASELINE.json asks for "grad max-err vs finite differences" on albedo,
+    vertex offsets, and camera pose. For albedo/radiance the estimator is
+    smooth and FD matches AD anywhere. Geometry/camera parameters make the
+    estimator DISCONTINUOUS across visibility boundaries: AD computes the
+    interior-term (path-replay) gradient; FD additionally samples boundary
+    jumps, so the comparison is only meaningful on a configuration where
+    no sample sits within eps of a visibility flip (see fd_scene below —
+    this is a property of interior-term differentiable rendering, not an
+    implementation artifact; edge-aware estimators are the documented
+    future work in diff/__init__)."""
+    g = jax.grad(f)(x0)
+    assert np.isfinite(np.asarray(g)).all()
+    rng = np.random.default_rng(seed)
+    errs = []
+    for _ in range(n_dirs):
+        v = rng.normal(size=np.shape(x0))
+        if mask is not None:
+            v = v * mask
+        v = jnp.asarray(v, jnp.float32)
+        fd = float((f(x0 + eps * v) - f(x0 - eps * v)) / (2 * eps))
+        an = float(jnp.vdot(g, v))
+        errs.append(abs(an - fd) / max(abs(fd), 1e-7))
+    assert np.median(errs) < rel, f"median rel err {np.median(errs)} ({errs})"
 
 
-def test_vertex_grads_finite(setup):
-    f, p0 = _loss_fn(setup, "vertex_offset")
-    g = np.asarray(jax.grad(f)(p0.vertex_offset))
-    assert np.isfinite(g).all()
-    assert np.abs(g).sum() > 0
+@pytest.fixture(scope="module")
+def fd_scene():
+    """A visibility-flip-free configuration for geometry/camera FD checks:
+    a huge floor filling the whole frustum (no silhouettes in view) lit by
+    an out-of-view overhead light with unoccludable shadow rays; depth 1
+    (camera hit + NEE only) so the path topology is constant under small
+    perturbations. The cornell box is unusable here: its light is coplanar
+    with the ceiling, so ANY vertex perturbation flips the emissive
+    tie-break (reference bvh.cpp:219) across the whole overlap region."""
+    from tinyraytracing_tpu.io.xmlscene import LightSpec, SceneConfig
+    from tinyraytracing_tpu.models.camera import Camera
+    from tinyraytracing_tpu.models.procedural import (
+        CORNELL_MATERIALS,
+        _quads_to_mesh,
+    )
+    from tinyraytracing_tpu.models.scene import assemble_scene
+
+    quads = [
+        ([(-4000, 0, -4000), (4000, 0, -4000), (4000, 0, 4000),
+          (-4000, 0, 4000)], "DiffuseWhite"),
+        ([(200, 800, 100), (330, 800, 100), (330, 800, 230),
+          (200, 800, 230)], "Light"),
+    ]
+    cfg = SceneConfig(
+        width=12, height=12, fovy=40.0,
+        eye=(0.0, 300.0, -800.0), lookat=(0.0, 0.0, 0.0),
+        up=(0.0, 1.0, 0.0),
+        lights=[LightSpec("Light", (30.0, 25.0, 20.0))],
+    )
+    scene = assemble_scene(cfg, _quads_to_mesh(quads), dict(CORNELL_MATERIALS))
+    cam = Camera.create(cfg.eye, cfg.lookat, cfg.up, cfg.fovy, 12, 12)
+    key = jax.random.PRNGKey(7)
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    return scene, cam, key, target
+
+
+FD_CFG = RenderConfig(intersector="brute", max_depth=1, ray_chunk=1024,
+                      tri_chunk=64)
+
+
+def _fd_loss(fd_scene, field):
+    scene, cam, key, target = fd_scene
+
+    def f(x):
+        p = SceneParams(**{field: x})
+        return render_loss(p, scene, cam, key, target, FD_CFG, SPP)
+
+    return jax.jit(f), SceneParams.init_from(scene, cam, field)
+
+
+def test_camera_eye_grad_matches_fd(fd_scene):
+    f, p0 = _fd_loss(fd_scene, "eye")
+    _fd_check(f, p0.eye, seed=2, eps=0.1, rel=0.05)
+
+
+def test_camera_lookat_grad_matches_fd(fd_scene):
+    f, p0 = _fd_loss(fd_scene, "lookat")
+    _fd_check(f, p0.lookat, seed=3, eps=1e-3, rel=0.05)
+
+
+def test_vertex_offset_grad_matches_fd(fd_scene):
+    f, p0 = _fd_loss(fd_scene, "vertex_offset")
+    _fd_check(f, p0.vertex_offset, seed=4, eps=0.1, rel=0.05)
+
+
+def test_vertex_offset_moves_light_tables(fd_scene):
+    """Offsetting the LIGHT's triangles must flow into the NEE light-point
+    tables (lt_tri plumbing): raising the light changes direct lighting,
+    with a finite nonzero AD gradient that matches FD."""
+    f, p0 = _fd_loss(fd_scene, "vertex_offset")
+    mask = np.zeros(np.shape(p0.vertex_offset))
+    mask[2:4] = 1.0   # the light quad's two triangles
+    _fd_check(f, p0.vertex_offset, seed=5, eps=0.1, rel=0.05, mask=mask)
+
+
+def test_camera_vertex_grads_finite_on_cornell(setup):
+    """On the full cornell box (silhouettes + the coplanar light) the FD
+    comparison is ill-posed; the interior-term gradients must still be
+    finite and nonzero."""
+    for field in ("eye", "vertex_offset"):
+        f, p0 = _loss_fn(setup, field)
+        g = np.asarray(jax.grad(f)(getattr(p0, field)))
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0, field
+
+
+def test_vertex_offset_consistent_across_intersectors(setup):
+    """apply_params must hand EVERY backend the offset geometry: brute
+    (v0/v1/v2) and mxu (woop rows) must intersect the SAME moved mesh (the
+    round-1 footgun was mxu silently tracing the untranslated one, a
+    30-unit discrepancy here; float noise between the two formulations is
+    ~1e-5 and tie flips are measure-zero)."""
+    scene, cam, key, target = setup
+    from tinyraytracing_tpu.ops.intersect import intersect
+
+    off = jnp.full_like(scene.v0, 30.0)
+    s2, _ = apply_params(scene, cam, SceneParams(vertex_offset=off))
+
+    rng = np.random.default_rng(3)
+    org = jnp.asarray(rng.uniform(0, 550, (256, 3)), jnp.float32)
+    d = rng.normal(size=(256, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    hits = {
+        b: intersect(s2, org, d, CFG.replace(intersector=b))
+        for b in ("brute", "mxu")
+    }
+    hb, hm = hits["brute"], hits["mxu"]
+    same = np.asarray(hb.hit) == np.asarray(hm.hit)
+    assert same.mean() > 0.99
+    both = np.asarray(hb.hit) & np.asarray(hm.hit) & same
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[both], np.asarray(hm.t)[both], rtol=1e-4, atol=1e-3
+    )
 
 
 def test_inverse_rendering_recovers_albedo(setup):

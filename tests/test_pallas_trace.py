@@ -168,3 +168,61 @@ def test_fused_renderer_slot_range(test_scene_bvh):
                                slot_base=128, n_slots=128)
     )(key)
     np.testing.assert_array_equal(np.asarray(half)[:128], np.asarray(full)[128:256])
+
+
+# ---------------------------------------------------------------------------
+# queue-fed fused renderer (integrator/fused_queue.py)
+# ---------------------------------------------------------------------------
+
+def test_fused_queue_matches_scan_statistically(test_scene_paths):
+    from tinyraytracing_tpu.models.scene import load_scene
+    from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_jit
+    from tinyraytracing_tpu.render import render
+
+    p = test_scene_paths
+    scene, cam = load_scene(p["xml"], p["obj"], p["mtl"], p["basedir"],
+                            with_bvh=True)
+    cam = dataclasses.replace(cam, width=24, height=24)
+    cfg = RenderConfig(intersector="bvh", max_depth=8)
+    a = np.asarray(render(scene, cam, jax.random.PRNGKey(0), cfg, spp=16))
+    b = np.asarray(
+        render_fused_queue_jit(scene, cam, jax.random.PRNGKey(3), cfg, 16, lanes=512)
+    )
+    assert np.all(np.isfinite(b))
+    assert abs(a.mean() - b.mean()) < 0.15 * max(a.mean(), 1e-6)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.9
+
+
+def test_fused_queue_matches_fused_persistent(test_scene_bvh):
+    """Same key => both fused schedulers draw identical per-path randomness
+    (path-indexed RNG), so their images agree sample-for-sample — up to
+    float contraction differences between the two compiled programs: XLA
+    fuses each renderer differently, a borderline ray can flip a hit in
+    one program only, and that one sample shifts its pixel by
+    O(value/spp). Observed: <=4 of 768 elements at ~1e-3 absolute."""
+    from tinyraytracing_tpu.integrator.fused import render_fused_jit
+    from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_jit
+
+    scene, cam = test_scene_bvh
+    cam = dataclasses.replace(cam, width=16, height=16)
+    cfg = RenderConfig(intersector="bvh", max_depth=6)
+    key = jax.random.PRNGKey(4)
+    a = np.asarray(render_fused_jit(scene, cam, key, cfg, 8, lanes=256))
+    b = np.asarray(render_fused_queue_jit(scene, cam, key, cfg, 8, lanes=256))
+    close = np.isclose(a, b, rtol=2e-4, atol=2e-5)
+    assert close.mean() > 0.99, f"{(~close).sum()} of {close.size} elements differ"
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=3e-3)
+
+
+def test_fused_queue_deterministic(test_scene_bvh):
+    from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_jit
+
+    scene, cam = test_scene_bvh
+    cam = dataclasses.replace(cam, width=16, height=16)
+    cfg = RenderConfig(intersector="bvh", max_depth=4)
+    a = np.asarray(render_fused_queue_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=256))
+    b = np.asarray(render_fused_queue_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=256))
+    c = np.asarray(render_fused_queue_jit(scene, cam, jax.random.PRNGKey(7), cfg, 4, lanes=256))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)

@@ -48,8 +48,35 @@ class SceneParams:
         return SceneParams(**{f: src[f] for f in fields})
 
 
+def woop_transform_jnp(v0, v1, v2):
+    """Differentiable (f32, jnp) version of models.scene.woop_transform:
+    per-triangle affine map to unit-barycentric space. Returns
+    (A (T, 3, 3), b (T, 3), unit geometric normal (T, 3))."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    det = jnp.sum(n * n, axis=-1)
+    safe = det > 1e-24
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+    a = jnp.stack([jnp.cross(e2, n), jnp.cross(n, e1), n], axis=1)
+    a = a * inv[:, None, None]
+    b = -jnp.einsum("tij,tj->ti", a, v0)
+    gn = n * jax.lax.rsqrt(jnp.maximum(det, 1e-30))[:, None]
+    return a, b, gn
+
+
 def apply_params(scene: Scene, cam: Camera, p: SceneParams):
-    """Overlay the optimizable parameters onto scene + camera."""
+    """Overlay the optimizable parameters onto scene + camera.
+
+    ``vertex_offset`` moves all three vertices of each triangle rigidly and
+    recomputes EVERY derived geometric quantity differentiably — the Woop
+    rows the mxu/pallas intersectors consume and the geometric normal used
+    by the grazing cull — so no backend silently traces the untranslated
+    mesh. Any attached BVH is DROPPED (its AABBs, leaf payload, and
+    triangle permutation describe the unoffset mesh): dispatchers fall back
+    to the brute/mxu intersectors, which are also the reverse-mode-safe
+    ones (pallas kernels define no VJP).
+    """
     up_s = {}
     if p.kd is not None:
         up_s["kd"] = p.kd
@@ -58,12 +85,20 @@ def apply_params(scene: Scene, cam: Camera, p: SceneParams):
         # keep the light table's cached radiance consistent
         up_s["light_radiance"] = p.radiance[scene.light_mtl]
     if p.vertex_offset is not None:
-        up_s["v0"] = scene.v0 + p.vertex_offset
-        up_s["v1"] = scene.v1 + p.vertex_offset
-        up_s["v2"] = scene.v2 + p.vertex_offset
-        # NOTE: BVH AABBs are NOT rebuilt under differentiation — use the
-        # brute-force intersector for geometry optimization, or keep
-        # offsets within the 1e-3 AABB pad.
+        v0 = scene.v0 + p.vertex_offset
+        v1 = scene.v1 + p.vertex_offset
+        v2 = scene.v2 + p.vertex_offset
+        woop_a, woop_b, gn = woop_transform_jnp(v0, v1, v2)
+        # NEE light tables track moved emissive geometry via lt_tri.
+        # Offsets are per-triangle rigid translations, so triangle areas
+        # (lt_prefix / light_area) are invariant and stay valid.
+        up_s.update(
+            v0=v0, v1=v1, v2=v2,
+            woop_a=woop_a, woop_b=woop_b, gn=gn,
+            lt_v0=v0[scene.lt_tri], lt_v1=v1[scene.lt_tri],
+            lt_v2=v2[scene.lt_tri],
+            bvh=None,
+        )
     if up_s:
         scene = dataclasses.replace(scene, **up_s)
     up_c = {}

@@ -1,0 +1,320 @@
+"""Queue-fed fused wavefront — the flagship renderer for non-trivial scenes.
+
+The pixel-persistent scheduler (integrator/fused.py) binds lane == pixel,
+which makes accumulation a free dense write but forbids work stealing: as
+paths die at random, live lanes scatter across packets, and by the epoch
+tail an iteration traces packets that are ~90% parked yet still walk the
+tree for their few live lanes. Measured on veach-mis @8spp the persistent
+loop ran ~580 iterations at ~8% average occupancy — 1.9 Mrays/s despite a
+23-30 Mrays/s kernel.
+
+This renderer restores the GLOBAL PATH QUEUE of regen.py (a dead lane
+immediately starts the next (pixel, sample) from the queue, so occupancy
+stays ~100% and the loop runs ~total_work/R iterations), combined with
+everything the fused generation added:
+
+- the fused trace kernel (ops/pallas_trace.py): per-triangle attribute
+  interpolation in-kernel, zero XLA gathers;
+- component-planar state, select-chain material/light lookups;
+- path-indexed counter RNG (draws are a function of (path_id, bounce));
+- dead/masked rays parked at origin 1e30 so they fail the root AABB test;
+- queue order == 32x32 image-tile order (integrator.fused.pixel_tile_order)
+  with consecutive path ids covering the same pixel's samples, so lane
+  refills preserve packet spatial coherence.
+
+NEE is IMMEDIATE (not deferred): each iteration dispatches the kernel
+twice — bounce rays, then the L shadow-ray groups of this bounce's shading
+points — and finished paths scatter-add their radiance into the image by
+pixel id. The scatter is the price of queue scheduling (~2-4 ms per
+iteration at 262K lanes); on scenes whose per-iteration kernel time is
+tens of ms it is noise, which is exactly the regime where this renderer
+wins. For tiny-kernel scenes (cornell-class) the pixel-persistent renderer
+remains the better choice; render.py picks by scene size.
+
+Estimator semantics identical to wavefront.trace / regen renderers
+(reference RayTracingOnCPU/pathTracing.cpp:3-102 NEE + RR + quirk flags).
+Same key => same image (determinism test); unlike the persistent renderer
+the image is not bitwise-invariant to lane-count changes (scatter-add
+order into a pixel depends on scheduling), so sharded runs agree to float
+addition reorder, not bitwise.
+
+Forward-only (lax.while_loop); gradients use the fixed-depth scan path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyraytracing_tpu.config import (
+    CAMERA,
+    INVALID,
+    SPECULAR,
+    TRANSMISSION,
+    RenderConfig,
+)
+from tinyraytracing_tpu.integrator.fused import (
+    _FAR,
+    _material_planes,
+    _nee_geometry,
+    _tex_kd,
+    pixel_tile_order,
+    sample_bsdf_planar,
+)
+from tinyraytracing_tpu.models.camera import Camera, camera_basis
+from tinyraytracing_tpu.ops import vec
+
+_INF = jnp.float32(3.0e38)
+
+
+def render_fused_queue(
+    scene,
+    cam: Camera,
+    key,
+    config: RenderConfig,
+    spp: int,
+    lanes: int = 262144,
+    max_iters: int | None = None,
+    path_lo=0,
+    n_paths: int | None = None,
+):
+    """Render with the queue-fed fused wavefront.
+
+    Returns ((n_pix, 3) flat linear image in PIXEL order, traced-ray count
+    f32). ``path_lo`` (may be traced — a shard offset) and ``n_paths``
+    (static) select a slice of the global path queue [0, W*H*spp) for
+    tile-sharded multi-chip rendering; path id p covers sample (p % spp)
+    of pixel order[p // spp]. Requires scene.bvh with a packed PS payload.
+    """
+    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
+
+    W, H = cam.width, cam.height
+    n_pix = W * H
+    total_all = n_pix * spp
+    if n_paths is None:
+        n_paths = total_all
+    R = min(lanes, n_paths)
+    R = -(-R // 128) * 128
+    if max_iters is None:
+        max_iters = int(
+            n_paths / R * (1.0 / (1.0 - config.p_rr)) * 3
+        ) + config.max_depth + 9
+
+    order_np = pixel_tile_order(W, H)[0]
+    order = jnp.asarray(order_np)
+    eye, horizontal, vertical, llc = camera_basis(cam)
+    inv_spp = jnp.float32(1.0 / spp)
+    L = scene.light_mtl.shape[0]
+    light_mtl_f = [scene.light_mtl[l].astype(jnp.float32) for l in range(L)]
+    shape = (R,)
+
+    def camera_ray(path_id):
+        pix = order[jnp.clip(path_id // spp, 0, n_pix - 1)]
+        i = (pix // W).astype(jnp.float32)
+        j = (pix % W).astype(jnp.float32)
+        pkd = jax.random.key_data(jax.vmap(
+            lambda t: jax.random.fold_in(key, t))(path_id))
+        h1 = (pkd[..., 0].astype(jnp.uint32) >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+        h2 = (pkd[..., 1].astype(jnp.uint32) >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+        x = j / (W - 1.0) + (h1 - 0.5) / W
+        y = (H - i) / (H - 1.0) + (h2 - 0.5) / H
+        d = (
+            llc[0] + x * horizontal[0] + y * vertical[0] - eye[0],
+            llc[1] + x * horizontal[1] + y * vertical[1] - eye[1],
+            llc[2] + x * horizontal[2] + y * vertical[2] - eye[2],
+        )
+        d = vec.normalize(d)
+        o = vec.splat(eye, d[0].shape)
+        return o, d, pkd, pix
+
+    eye = tuple(eye[k] for k in range(3))
+    horizontal = tuple(horizontal[k] for k in range(3))
+    vertical = tuple(vertical[k] for k in range(3))
+    llc = tuple(llc[k] for k in range(3))
+
+    def cond(s):
+        it, counter, active = s[0], s[1], s[2]
+        return (it < max_iters) & (jnp.any(active) | (counter < n_paths))
+
+    def body(s):
+        (it, counter, active, path_id, pix, bounce, o, d, ray_type, thr,
+         rad, pkd, img, ray_count) = s
+
+        # --- regenerate dead lanes from the global queue (tile order)
+        dead = ~active
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        new_id = counter + rank
+        can = dead & (new_id < n_paths)
+        path_id = jnp.where(can, new_id, path_id)
+        norg, nd, npkd, npix = camera_ray(path_lo + jnp.maximum(path_id, 0))
+        o = vec.where(can, norg, o)
+        d = vec.where(can, nd, d)
+        pkd = jnp.where(can[:, None], npkd, pkd)
+        pix = jnp.where(can, npix, pix)
+        ray_type = jnp.where(can, CAMERA, ray_type)
+        one = jnp.ones(shape, jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        thr = vec.where(can, (one, one, one), thr)
+        rad = vec.where(can, (zero, zero, zero), rad)
+        bounce = jnp.where(can, 0, bounce)
+        active = active | can
+        counter = jnp.minimum(
+            counter + jnp.sum(dead.astype(jnp.int32)), n_paths
+        )
+
+        far = jnp.full(shape, _FAR, jnp.float32)
+        far3 = (far, far, far)
+        o = vec.where(active, o, far3)
+
+        # --- dispatch 1: bounce rays
+        t, pnx, pny, pnz, tcu, tcv, mtl, em = fused_trace_planes(
+            scene, o[0], o[1], o[2], d[0], d[1], d[2], config
+        )
+        hit = t < _INF
+        ray_count = ray_count + active.astype(jnp.float32)
+
+        m = mtl
+        point = vec.add(o, vec.scale(d, t))
+        pn = vec.normalize((pnx, pny, pnz))
+
+        hit_emissive = hit & (em > 0.5)
+        include = (ray_type == CAMERA) | (ray_type == TRANSMISSION)
+        emit = active & hit_emissive & include
+        mat = _material_planes(scene, m)
+        mrad = mat["rad"]
+        rad = (
+            rad[0] + jnp.where(emit, thr[0] * mrad[0], 0.0),
+            rad[1] + jnp.where(emit, thr[1] * mrad[1], 0.0),
+            rad[2] + jnp.where(emit, thr[2] * mrad[2], 0.0),
+        )
+        shade_mask = active & hit & ~hit_emissive
+
+        kd_val = _tex_kd(scene, mat, tcu, tcv, mat["kd"])
+        ks = mat["ks"]
+        ns = mat["ns"]
+        wi = vec.neg(d)
+
+        # --- per-(path, bounce) uniforms (path-indexed counter RNG)
+        bkeys = jax.vmap(jax.random.fold_in)(
+            jax.random.wrap_key_data(pkd), bounce
+        )
+        draws = jax.vmap(
+            lambda k: jax.random.uniform(k, (4 * L + 5,), dtype=jnp.float32)
+        )(bkeys)
+
+        # --- dispatch 2: this bounce's L shadow-ray groups, immediate NEE
+        pend = []
+        sh_o, sh_d = [], []
+        up = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
+        for l in range(L):
+            wo, contrib, distl, okl = _nee_geometry(
+                scene, config, l, point, pn, wi, kd_val, ks, ns,
+                draws[:, 4 * l + 0], draws[:, 4 * l + 1],
+                draws[:, 4 * l + 2], draws[:, 4 * l + 3],
+                shade_mask,
+            )
+            pend.append((okl, contrib, distl))
+            sh_o.append(vec.where(okl, point, far3))
+            sh_d.append(vec.where(okl, wo, up))
+        cat = lambda xs: jnp.concatenate(xs)
+        st, _, _, _, _, _, smtl, _ = fused_trace_planes(
+            scene,
+            cat([s[0] for s in sh_o]), cat([s[1] for s in sh_o]),
+            cat([s[2] for s in sh_o]),
+            cat([s[0] for s in sh_d]), cat([s[1] for s in sh_d]),
+            cat([s[2] for s in sh_d]),
+            config,
+        )
+        for l, (okl, contrib, distl) in enumerate(pend):
+            sl = slice(l * R, (l + 1) * R)
+            sh_hit = st[sl] < _INF
+            if config.shadow_test == "mtl":
+                vis = sh_hit & (smtl[sl] == light_mtl_f[l])
+            else:
+                vis = ~(sh_hit & (st[sl] < distl - 1e-3))
+            add = okl & vis
+            rad = (
+                rad[0] + jnp.where(add, thr[0] * contrib[0], 0.0),
+                rad[1] + jnp.where(add, thr[1] * contrib[1], 0.0),
+                rad[2] + jnp.where(add, thr[2] * contrib[2], 0.0),
+            )
+            ray_count = ray_count + okl.astype(jnp.float32)
+
+        # --- Russian roulette + BSDF continuation
+        u = [draws[:, 4 * L + i] for i in range(5)]
+        survive = shade_mask & (u[0] < config.p_rr) & (bounce + 1 < config.max_depth)
+        new_dir, new_type = sample_bsdf_planar(
+            d, pn, mat["kd"], ks, ns, mat["ni"],
+            u[1], u[2], u[3], u[4],
+        )
+        alive_next = survive & (new_type != INVALID)
+
+        if config.specular_weight == "ref":
+            ds_weight = kd_val
+        else:
+            ds_weight = vec.where((new_type == SPECULAR), ks, kd_val)
+        weight = vec.where(new_type == TRANSMISSION, mat["tr"], ds_weight)
+        inv_prr = jnp.float32(1.0 / config.p_rr)
+        thr = vec.where(
+            alive_next,
+            (thr[0] * weight[0] * inv_prr,
+             thr[1] * weight[1] * inv_prr,
+             thr[2] * weight[2] * inv_prr),
+            thr,
+        )
+        o = vec.where(alive_next, point, o)
+        d = vec.where(alive_next, new_dir, up)
+        ray_type = jnp.where(alive_next, new_type, ray_type)
+        bounce = bounce + 1
+
+        # --- finished paths scatter into the image by pixel id
+        finished = active & ~alive_next
+        spix = jnp.where(finished, pix, n_pix)       # out-of-range = dropped
+        contrib = jnp.stack(
+            [jnp.where(finished, rad[k] * inv_spp, 0.0) for k in range(3)],
+            axis=-1,
+        )
+        img = img.at[spix].add(contrib, mode="drop")
+        active = alive_next
+
+        return (it + 1, counter, active, path_id, pix, bounce, o, d,
+                ray_type, thr, rad, pkd, img, ray_count)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    z3 = (zero, zero, zero)
+    up0 = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
+    state = (
+        jnp.int32(0),
+        jnp.int32(0),                        # queue counter
+        jnp.zeros(shape, bool),              # active
+        jnp.zeros(shape, jnp.int32),         # path_id
+        jnp.zeros(shape, jnp.int32),         # pixel
+        jnp.zeros(shape, jnp.int32),         # bounce
+        z3,                                  # o
+        up0,                                 # d
+        jnp.full(shape, CAMERA, jnp.int32),  # ray_type
+        (one, one, one),                     # throughput
+        z3,                                  # radiance
+        jnp.zeros((R, 2), jnp.uint32),       # path key data
+        jnp.zeros((n_pix, 3), jnp.float32),  # image (pixel order)
+        zero,                                # per-lane ray counter
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    img, ray_count = state[-2], state[-1]
+    return img, jnp.sum(ray_count)
+
+
+@partial(jax.jit, static_argnames=("config", "spp", "lanes"))
+def render_fused_queue_jit(scene, cam, key, config, spp, lanes=262144):
+    img, _ = render_fused_queue(scene, cam, key, config, spp, lanes)
+    return img.reshape(cam.height, cam.width, 3)
+
+
+@partial(jax.jit, static_argnames=("config", "spp", "lanes"))
+def render_fused_queue_stats_jit(scene, cam, key, config, spp, lanes=262144):
+    img, rays = render_fused_queue(scene, cam, key, config, spp, lanes)
+    return img.reshape(cam.height, cam.width, 3), rays

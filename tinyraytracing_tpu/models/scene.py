@@ -131,6 +131,10 @@ class Scene:
     lt_n1: jax.Array
     lt_n2: jax.Array
     lt_prefix: jax.Array   # (L, K) prefix areas, +inf padding
+    lt_tri: jax.Array      # (L, K) int32 triangle index of each light-table
+    #   entry IN THE SCENE'S (possibly BVH-permuted) triangle order, 0 for
+    #   padding — lets diff.inverse.apply_params keep the NEE light tables
+    #   consistent when vertex offsets move emissive geometry
     light_area: jax.Array  # (L,) true total area per light
     nee_range: jax.Array   # () area of lights[0] — the reference's static-
     #                          distribution quirk (pathTracing.cpp:37-38)
@@ -264,9 +268,16 @@ def assemble_scene(
     lt_v = np.zeros((L, K, 3, 3), np.float32)
     lt_n = np.zeros((L, K, 3, 3), np.float32)
     lt_prefix = np.full((L, K), np.inf, np.float32)
+    lt_tri = np.zeros((L, K), np.int32)
     light_area = np.zeros((L,), np.float32)
     light_mtl = np.zeros((L,), np.int32)
     light_radiance = np.zeros((L, 3), np.float32)
+    # map original-order triangle ids into the scene's final (possibly
+    # BVH-permuted) order for lt_tri
+    T = mesh.v.shape[0]
+    inv_perm = np.arange(T, dtype=np.int64)
+    if bvh_host is not None:
+        inv_perm[np.asarray(bvh_host[1])] = np.arange(T)
     for li, l in enumerate(config.lights):
         sel = per_light[li]
         light_mtl[li] = index[l.mtl_name]
@@ -274,6 +285,7 @@ def assemble_scene(
         if len(sel):
             lt_v[li, : len(sel)] = mesh.v[sel]
             lt_n[li, : len(sel)] = mesh.vn[sel]
+            lt_tri[li, : len(sel)] = inv_perm[sel]
             pref = np.cumsum(areas[sel])
             lt_prefix[li, : len(sel)] = pref
             light_area[li] = pref[-1]
@@ -329,6 +341,7 @@ def assemble_scene(
         lt_v0=f32(lt_v[:, :, 0]), lt_v1=f32(lt_v[:, :, 1]), lt_v2=f32(lt_v[:, :, 2]),
         lt_n0=f32(lt_n[:, :, 0]), lt_n1=f32(lt_n[:, :, 1]), lt_n2=f32(lt_n[:, :, 2]),
         lt_prefix=f32(lt_prefix),
+        lt_tri=jnp.asarray(lt_tri),
         light_area=f32(light_area),
         nee_range=f32(nee_range),
         tex=jnp.asarray(atlas),

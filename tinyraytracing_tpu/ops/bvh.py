@@ -185,6 +185,8 @@ def attach_bvh(scene, config: RenderConfig):
         leaf_size=int(config.leaf_size),
     )
     permute = lambda a: jnp.asarray(np.asarray(a)[perm])
+    inv_perm = np.empty(len(perm), np.int64)
+    inv_perm[np.asarray(perm)] = np.arange(len(perm))
     return dataclasses.replace(
         scene,
         v0=permute(scene.v0), v1=permute(scene.v1), v2=permute(scene.v2),
@@ -195,6 +197,7 @@ def attach_bvh(scene, config: RenderConfig):
         woop_b=permute(scene.woop_b),
         tri_mtl=permute(scene.tri_mtl),
         tri_emissive=permute(scene.tri_emissive),
+        lt_tri=jnp.asarray(inv_perm[np.asarray(scene.lt_tri)].astype(np.int32)),
         bvh=bvh,
     )
 
