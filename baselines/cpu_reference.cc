@@ -34,7 +34,11 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <fstream>
+#include <map>
 #include <random>
+#include <sstream>
+#include <string>
 #include <vector>
 #ifdef _OPENMP
 #include <omp.h>
@@ -468,22 +472,230 @@ void make_cornell(SceneCPU* sc) {
   sc->first_light_area = acc;
 }
 
+// ------------------------------------------------ scene files (xml/obj/mtl)
+// Minimal hand-rolled loaders for the course scene formats (see
+// example-scenes-cg22/README.md in the reference repo). Semantics follow the
+// reference loaders (RayTracingOnCPU/scene.cpp): xml marks light materials
+// emissive BEFORE the obj parse; the obj 'f a/b/c' second/third slot layout
+// uses the isvnvt heuristic (any 'vt' before the first 'vn' means v/vt);
+// mtl handles Kd/Ks/Tr/Ns/Ni and IGNORES Kt (test/back.mtl quirk) and
+// map_Kd (textures out of scope for the estimator cross-check — none of the
+// cross-checked scenes use them).
+
+struct CamCfg {
+  V3 eye{278, 273, -800}, lookat{278, 273, -799}, up{0, 1, 0};
+  float fovy = 39.3077f;
+  int w = 256, h = 256;
+};
+
+struct SceneBuild {
+  std::map<std::string, int> mat_id;
+  std::vector<std::string> light_mtls;  // XML order
+  int id(SceneCPU* sc, const std::string& name) {
+    auto it = mat_id.find(name);
+    if (it != mat_id.end()) return it->second;
+    int i = (int)sc->mats.size();
+    sc->mats.push_back(Mat{});
+    mat_id.emplace(name, i);
+    return i;
+  }
+};
+
+static std::string attr(const std::string& tag, const char* key) {
+  std::string pat = std::string(key) + "=\"";
+  size_t p = tag.find(pat);
+  if (p == std::string::npos) return "";
+  p += pat.size();
+  size_t q = tag.find('"', p);
+  return tag.substr(p, q - p);
+}
+
+bool load_xml(const char* path, SceneCPU* sc, SceneBuild* b, CamCfg* cam) {
+  std::ifstream f(path);
+  if (!f) return false;
+  std::stringstream ss;
+  ss << f.rdbuf();
+  std::string s = ss.str();
+  // camera element + its children
+  size_t cpos = s.find("<camera");
+  if (cpos != std::string::npos) {
+    std::string ctag = s.substr(cpos, s.find('>', cpos) - cpos);
+    if (!attr(ctag, "width").empty()) cam->w = std::atoi(attr(ctag, "width").c_str());
+    if (!attr(ctag, "height").empty()) cam->h = std::atoi(attr(ctag, "height").c_str());
+    if (!attr(ctag, "fovy").empty()) cam->fovy = std::atof(attr(ctag, "fovy").c_str());
+    for (const char* key : {"eye", "lookat", "up"}) {
+      size_t p = s.find(std::string("<") + key, cpos);
+      if (p == std::string::npos) continue;
+      std::string tag = s.substr(p, s.find('>', p) - p);
+      V3 v{(float)std::atof(attr(tag, "x").c_str()),
+           (float)std::atof(attr(tag, "y").c_str()),
+           (float)std::atof(attr(tag, "z").c_str())};
+      if (!std::strcmp(key, "eye")) cam->eye = v;
+      else if (!std::strcmp(key, "lookat")) cam->lookat = v;
+      else cam->up = v;
+    }
+  }
+  // lights: mark materials emissive with their radiance (reference order:
+  // xml BEFORE obj so readobj sees the emissive flags)
+  for (size_t p = s.find("<light"); p != std::string::npos;
+       p = s.find("<light", p + 1)) {
+    std::string tag = s.substr(p, s.find('>', p) - p);
+    std::string name = attr(tag, "mtlname");
+    std::string rad = attr(tag, "radiance");
+    if (name.empty()) continue;
+    V3 r{};
+    std::sscanf(rad.c_str(), "%f , %f , %f", &r.x, &r.y, &r.z);
+    int m = b->id(sc, name);
+    sc->mats[m].emissive = true;
+    sc->mats[m].radiance = r;
+    b->light_mtls.push_back(name);
+  }
+  return true;
+}
+
+bool load_obj(const char* path, SceneCPU* sc, SceneBuild* b) {
+  std::ifstream f(path);
+  if (!f) return false;
+  std::vector<V3> vs, vns, vts;
+  bool seen_vn = false, isvnvt = true;
+  int cur = -1;
+  std::string line;
+  while (std::getline(f, line)) {
+    std::istringstream is(line);
+    std::string k;
+    is >> k;
+    if (k == "v") {
+      V3 v;
+      is >> v.x >> v.y >> v.z;
+      vs.push_back(v);
+    } else if (k == "vn") {
+      V3 v;
+      is >> v.x >> v.y >> v.z;
+      vns.push_back(v);
+      seen_vn = true;
+    } else if (k == "vt") {
+      V3 v;
+      is >> v.x >> v.y;
+      vts.push_back(v);
+      if (!seen_vn) isvnvt = false;  // vt before first vn -> 'f v/vt' layout
+    } else if (k == "usemtl") {
+      std::string name;
+      is >> name;
+      cur = b->id(sc, name);
+    } else if (k == "f") {
+      int vi[3] = {0, 0, 0}, ni[3] = {0, 0, 0};
+      for (int t = 0; t < 3; ++t) {
+        std::string w;
+        if (!(is >> w)) return false;
+        // a/b/c -> slot meanings depend on isvnvt (reference heuristic):
+        // isvnvt: a=v, b=vn, c=vt;  !isvnvt: a=v, b=vt, c=vn
+        int a = 0, bb = 0, c = 0;
+        std::sscanf(w.c_str(), "%d/%d/%d", &a, &bb, &c);
+        vi[t] = a;
+        ni[t] = isvnvt ? bb : c;
+      }
+      Tri tr;
+      tr.a = vs[vi[0] - 1];
+      tr.b = vs[vi[1] - 1];
+      tr.c = vs[vi[2] - 1];
+      tr.gn = norm(cross(tr.b - tr.a, tr.c - tr.a));
+      tr.na = ni[0] > 0 ? vns[ni[0] - 1] : tr.gn;
+      tr.nb = ni[1] > 0 ? vns[ni[1] - 1] : tr.gn;
+      tr.nc = ni[2] > 0 ? vns[ni[2] - 1] : tr.gn;
+      tr.mtl = cur < 0 ? b->id(sc, "default") : cur;
+      tr.emissive = sc->mats[tr.mtl].emissive;
+      sc->tris.push_back(tr);
+    }
+  }
+  // light tables in XML order; NEE draw range = FIRST light's total area
+  // (the reference's static-distribution quirk)
+  for (const std::string& name : b->light_mtls) {
+    SceneCPU::LightT lt;
+    lt.mtl = b->mat_id[name];
+    double acc = 0;
+    for (int i = 0; i < (int)sc->tris.size(); ++i) {
+      if (sc->tris[i].mtl == lt.mtl) {
+        const Tri& t = sc->tris[i];
+        acc += 0.5 * len(cross(t.b - t.a, t.c - t.a));
+        lt.ids.push_back(i);
+        lt.prefix.push_back(acc);
+      }
+    }
+    lt.area = acc;
+    if (sc->lights.empty()) sc->first_light_area = acc;
+    sc->lights.push_back(lt);
+  }
+  return true;
+}
+
+bool load_mtl(const char* path, SceneCPU* sc, SceneBuild* b) {
+  std::ifstream f(path);
+  if (!f) return false;
+  int cur = -1;
+  std::string line;
+  while (std::getline(f, line)) {
+    std::istringstream is(line);
+    std::string k;
+    is >> k;
+    if (k == "newmtl") {
+      std::string name;
+      is >> name;
+      cur = b->id(sc, name);
+    } else if (cur >= 0 && (k == "Kd" || k == "Ks" || k == "Tr")) {
+      V3 v;
+      is >> v.x >> v.y >> v.z;
+      if (k == "Kd") sc->mats[cur].kd = v;
+      else if (k == "Ks") sc->mats[cur].ks = v;
+      else sc->mats[cur].tr = v;
+    } else if (cur >= 0 && k == "Ns") {
+      is >> sc->mats[cur].ns;
+    } else if (cur >= 0 && k == "Ni") {
+      is >> sc->mats[cur].ni;
+    }
+    // Kt / map_Kd intentionally ignored (reference parser quirk / no
+    // textures in the cross-checked scenes)
+  }
+  return true;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
-  int W = argc > 1 ? std::atoi(argv[1]) : 256;
-  int H = argc > 2 ? std::atoi(argv[2]) : 256;
-  int spp = argc > 3 ? std::atoi(argv[3]) : 64;
-  const char* out = argc > 4 ? argv[4] : nullptr;
-
+  // usage:
+  //   ./cpu_ref [W H SPP [out.ppm]]                      built-in cornell
+  //   ./cpu_ref --scene XML OBJ MTL SPP [out.ppm [W H]]  scene files
   SceneCPU sc;
-  make_cornell(&sc);
+  CamCfg cc;
+  int W, H, spp;
+  const char* out = nullptr;
+  if (argc > 1 && !std::strcmp(argv[1], "--scene")) {
+    if (argc < 6) {
+      std::fprintf(stderr, "--scene needs XML OBJ MTL SPP\n");
+      return 2;
+    }
+    SceneBuild b;
+    // reference load order xml -> obj -> mtl (scene.cpp comment in main.cpp:66)
+    if (!load_xml(argv[2], &sc, &b, &cc) || !load_obj(argv[3], &sc, &b) ||
+        !load_mtl(argv[4], &sc, &b)) {
+      std::fprintf(stderr, "failed to load scene files\n");
+      return 2;
+    }
+    spp = std::atoi(argv[5]);
+    out = argc > 6 ? argv[6] : nullptr;
+    W = argc > 7 ? std::atoi(argv[7]) : cc.w;
+    H = argc > 8 ? std::atoi(argv[8]) : cc.h;
+  } else {
+    W = argc > 1 ? std::atoi(argv[1]) : 256;
+    H = argc > 2 ? std::atoi(argv[2]) : 256;
+    spp = argc > 3 ? std::atoi(argv[3]) : 64;
+    out = argc > 4 ? argv[4] : nullptr;
+    make_cornell(&sc);
+  }
   BVH bvh;
   build_bvh(sc, &bvh);
 
-  // camera (cornell-box.xml values)
-  V3 eye{278, 273, -800}, lookat{278, 273, -799}, up{0, 1, 0};
-  float fovy = 39.3077f;
+  V3 eye = cc.eye, lookat = cc.lookat, up = cc.up;
+  float fovy = cc.fovy;
   float hh = std::tan(fovy * float(M_PI) / 180 / 2);
   float vh = 2 * hh, vw = vh * float(W) / float(H);
   V3 cw = norm(eye - lookat);

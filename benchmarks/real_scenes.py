@@ -15,6 +15,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from tinyraytracing_tpu.config import RenderConfig
 from tinyraytracing_tpu.integrator.fused import render_fused_stats_jit
+from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_stats_jit
 from tinyraytracing_tpu.models.scene import load_scene
 from tinyraytracing_tpu.models.procedural import cornell_box
 from tinyraytracing_tpu.ops.bvh import attach_bvh
@@ -23,21 +24,25 @@ SCENES = "/root/reference/RayTracingOnCPU/example-scenes-cg22"
 SPP = int(os.environ.get("BENCH_SPP", 8))
 LEAF = int(os.environ.get("BENCH_LEAF", 8))
 LANES = int(os.environ.get("BENCH_LANES", 262144))
+RENDERER = os.environ.get("BENCH_RENDERER", "fused")  # fused | queue
+_render = {"fused": render_fused_stats_jit,
+           "queue": render_fused_queue_stats_jit}[RENDERER]
 
 which = sys.argv[1:] or ["cornell", "veach", "staircase"]
 cfg = RenderConfig(intersector="auto", max_depth=16, leaf_size=LEAF)
 
 
 def bench(name, scene, cam):
+    name = f"{name} [{RENDERER}]"
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    img, rays = render_fused_stats_jit(scene, cam, key, cfg, SPP, lanes=LANES)
+    img, rays = _render(scene, cam, key, cfg, SPP, lanes=LANES)
     jax.block_until_ready(img)
     compile_s = time.perf_counter() - t0
     n = 2
     t0 = time.perf_counter()
     for _ in range(n):
-        img, rays = render_fused_stats_jit(scene, cam, key, cfg, SPP, lanes=LANES)
+        img, rays = _render(scene, cam, key, cfg, SPP, lanes=LANES)
         jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / n
     r = float(rays)

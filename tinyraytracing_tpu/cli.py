@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=None, help="override XML image width")
     p.add_argument("--height", type=int, default=None, help="override XML image height")
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "persistent", "queue", "scan"],
+                   help="auto = flagship fused wavefront (scheduling picked "
+                        "by scene size); scan = fixed-depth differentiable path")
+    p.add_argument("--lanes", type=int, default=262144,
+                   help="wavefront width for the fused renderers")
     p.add_argument("--intersector", default="auto", choices=["auto", "mxu", "brute", "bvh", "pallas", "bvh_pallas"])
     p.add_argument("--light-sampler", default="ref", choices=["ref", "uniform"])
     p.add_argument("--specular-weight", default="ref", choices=["ref", "ks"])
@@ -65,7 +71,12 @@ def main(argv=None) -> int:
         specular_weight=args.specular_weight,
         shadow_test=args.shadow_test,
     )
-    with_bvh = config.intersector in ("auto", "bvh")
+    # the fused renderers need the packed-leaf BVH; build it at load unless
+    # the user explicitly asked for the scan path with a non-BVH intersector
+    with_bvh = (
+        args.renderer in ("auto", "persistent", "queue")
+        or config.intersector in ("auto", "bvh")
+    )
     if args.scene:
         from tinyraytracing_tpu.models.procedural import (
             cornell_box, cornell_box_specular, quad_grid,
@@ -98,7 +109,8 @@ def main(argv=None) -> int:
 
     out = args.out or os.path.join(args.basedir or ".", f"image{args.spp}.png")
     with Timer() as t:
-        render_image(scene, cam, config, spp=args.spp, seed=args.seed, out_path=out)
+        render_image(scene, cam, config, spp=args.spp, seed=args.seed,
+                     out_path=out, renderer=args.renderer, lanes=args.lanes)
     n_rays = cam.width * cam.height * args.spp
     log.info("rendered %s in %.2fs (%.3g camera rays/s)", out, t.elapsed, n_rays / t.elapsed)
     return 0

@@ -351,9 +351,10 @@ def render_planar(
             t_all, idx_all, u_all, v_all, hit_all = intersect_planes(
                 scene, (ox, oy, oz), (dx, dy, dz), config
             )
-            rays_traced = rays_traced + jnp.sum(active.astype(jnp.int32))
+            step_rays = jnp.sum(active.astype(jnp.int32))
             for l in range(L):
-                rays_traced = rays_traced + jnp.sum(pend_ok[l].astype(jnp.int32))
+                step_rays = step_rays + jnp.sum(pend_ok[l].astype(jnp.int32))
+            rays_traced = rays_traced + step_rays.astype(jnp.float32)
 
             # --- resolve LAST iteration's NEE with this trace's shadow legs
             for l in range(L):
@@ -503,7 +504,7 @@ def render_planar(
         return img, rays_traced
 
     img = jnp.zeros((n_epochs * R, 3), jnp.float32)
-    rt0 = jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0)
+    rt0 = jnp.float32(0.0)  # per-step counts are exact int32; f32 total avoids int32 overflow at >2^31 rays
     img, rays_traced = jax.lax.fori_loop(0, n_epochs, epoch, (img, rt0))
     return img[:n_pix].reshape(H, W, 3), rays_traced
 

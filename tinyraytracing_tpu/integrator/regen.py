@@ -186,9 +186,9 @@ def render_regen(
         pix = jnp.where(finished, path_id // spp, 0)
         contrib = jnp.where(finished[:, None], radiance * inv_spp, 0.0)
         img = img.at[pix].add(contrib)
-        rays_traced = rays_traced + jnp.sum(active.astype(jnp.int32)) + L * jnp.sum(
-            shade_mask.astype(jnp.int32)
-        )
+        rays_traced = rays_traced + (
+            jnp.sum(active.astype(jnp.int32)) + L * jnp.sum(shade_mask.astype(jnp.int32))
+        ).astype(jnp.float32)
         active = alive_next
 
         return (it + 1, counter, active, path_id, bounce, org, d,
@@ -207,7 +207,7 @@ def render_regen(
         jnp.ones((R, 3), jnp.float32),
         z3,
         jnp.zeros((n_pix, 3), jnp.float32),
-        jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0),
+        jnp.float32(0.0),  # ray counter: f32 total avoids int32 overflow at >2^31 rays
     )
     state = jax.lax.while_loop(cond, body, state)
     img = state[-2]
@@ -382,9 +382,9 @@ def render_persistent(
 
             finished = active & ~alive_next
             accum = accum + jnp.where(finished[:, None], radiance * inv_spp, 0.0)
-            rays_traced = rays_traced + jnp.sum(active.astype(jnp.int32)) + L * jnp.sum(
-                shade_mask.astype(jnp.int32)
-            )
+            rays_traced = rays_traced + (
+                jnp.sum(active.astype(jnp.int32)) + L * jnp.sum(shade_mask.astype(jnp.int32))
+            ).astype(jnp.float32)
             active = alive_next
             return (it + 1, active, samples_done, bounce, org, d,
                     ray_type, throughput, radiance, accum, rays_traced)
@@ -410,7 +410,7 @@ def render_persistent(
 
     # pad the flat image so every epoch's dense R-row write stays in bounds
     img = jnp.zeros((n_epochs * R, 3), jnp.float32)
-    rt0 = jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0)
+    rt0 = jnp.float32(0.0)  # per-step counts are exact int32; f32 total avoids int32 overflow at >2^31 rays
     img, rays_traced = jax.lax.fori_loop(0, n_epochs, epoch, (img, rt0))
     return img[:n_pix].reshape(H, W, 3), rays_traced
 

@@ -75,7 +75,7 @@ def _shard_body(scene, cam, key, pix, spp_ids, config: RenderConfig, spp: int):
 
 @partial(jax.jit, static_argnames=("config", "spp", "mesh"))
 def _render_sharded_jit(scene, cam, key, config, spp, mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 top-level API (experimental.shard_map is deprecated)
 
     W, H = cam.width, cam.height
     n_tile = mesh.shape["tile"]
@@ -94,7 +94,7 @@ def _render_sharded_jit(scene, cam, key, config, spp, mesh):
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tile"), P("spp")),
         out_specs=P("tile"),
-        check_rep=False,
+        check_vma=False,
     )
     img = fn(scene, cam, key, pix, spp_ids)
     return img[:n_pix].reshape(H, W, 3)
@@ -127,7 +127,7 @@ def _render_fused_sharded_jit(scene, cam, key, config, spp, mesh, lanes):
     then the slot images are reassembled. The fused renderer's RNG is
     path-indexed, so the result is BITWISE equal to the single-device
     render for any mesh shape (tests/test_parallel.py)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 top-level API (experimental.shard_map is deprecated)
 
     from tinyraytracing_tpu.integrator.fused import (
         pixel_tile_order,
@@ -156,7 +156,7 @@ def _render_fused_sharded_jit(scene, cam, key, config, spp, mesh, lanes):
         mesh=flat_mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P("tile"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     img_slots, rays = fn(scene, cam, key)
     _, inv = pixel_tile_order(W, H)

@@ -76,6 +76,19 @@ def render(
     return acc / spp
 
 
+# Queue scheduling pays a per-iteration scatter-add; on cornell-class scenes
+# whose fused-trace kernel runs in ~us it dominates, while on real scenes the
+# kernel runs in ms and the queue's ~100% occupancy wins (fused_queue.py
+# docstring, measured in benchmarks/renderers_ab.py).
+_QUEUE_MIN_TRIS = 512
+
+
+def pick_renderer(scene: Scene) -> str:
+    """Auto renderer choice: fused pixel-persistent for tiny scenes,
+    queue-fed fused wavefront otherwise."""
+    return "queue" if scene.num_triangles >= _QUEUE_MIN_TRIS else "persistent"
+
+
 def render_image(
     scene: Scene,
     cam: Camera,
@@ -83,12 +96,41 @@ def render_image(
     spp: int | None = None,
     seed: int = 0,
     out_path: str | None = None,
+    renderer: str = "auto",
+    lanes: int = 262144,
 ) -> np.ndarray:
     """Convenience wrapper: render, pull to host, optionally write a PNG
     (reference naming: <basedir>/image<SPP>.png, main.cpp:26). Returns the
-    linear (H, W, 3) numpy image."""
+    linear (H, W, 3) numpy image.
+
+    ``renderer``: 'auto' (flagship fused wavefront, scheduling picked by
+    scene size), 'persistent' (fused pixel-persistent), 'queue' (queue-fed
+    fused), or 'scan' (fixed-depth differentiable scan — the slow reference
+    path, also used by gradients)."""
+    spp_val = spp or config.spp
     key = jax.random.PRNGKey(seed)
-    img = np.asarray(render(scene, cam, key, config, spp))
+    if renderer == "auto":
+        renderer = pick_renderer(scene)
+    if renderer in ("persistent", "queue"):
+        if scene.bvh is None or scene.bvh.packed is None:
+            from tinyraytracing_tpu.ops.bvh import attach_bvh
+
+            scene = attach_bvh(scene, config)
+        if renderer == "persistent":
+            from tinyraytracing_tpu.integrator.fused import render_fused_jit
+
+            img = render_fused_jit(scene, cam, key, config, spp_val, lanes)
+        else:
+            from tinyraytracing_tpu.integrator.fused_queue import (
+                render_fused_queue_jit,
+            )
+
+            img = render_fused_queue_jit(scene, cam, key, config, spp_val, lanes)
+    elif renderer == "scan":
+        img = render(scene, cam, key, config, spp)
+    else:
+        raise ValueError(f"unknown renderer {renderer!r}")
+    img = np.asarray(img)
     if out_path:
         write_png(out_path, img)
     return img
