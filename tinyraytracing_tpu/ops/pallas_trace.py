@@ -54,10 +54,14 @@ SLOT = 32          # triangle slots per leaf block (PackedLeaves layout)
 SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
 
 # node count beyond which the node tables move from SMEM to HBM records.
-# SMEM is ~512 KB on v5e; nodes cost 40 B (32 box f32 + 8 meta i32), so
-# 12K nodes ~ 480 KB. Measured on staircase (10,759 nodes): SMEM nodes
-# 3.7 Mrays/s vs 2.5 via HBM records on random rays.
-SMEM_NODE_LIMIT = 12000
+# Measured on v5e (262K random rays): the HBM-record path is as fast as or
+# faster than SMEM nodes even at veach-mis scale (99.5 vs 95.3 Mrays/s,
+# 815 nodes), and large SMEM node tables HANG the device — staircase's
+# 10,759-node table (430 KB) never completes and is killed by the TPU
+# watchdog ("UNAVAILABLE: TPU device error"), while the same tree via HBM
+# records runs at 110.7 Mrays/s. Keep SMEM only for small trees where it
+# is known-safe.
+SMEM_NODE_LIMIT = 1024
 
 
 def _walk(ox, oy, oz, dx, dy, dz, read_node, ps_ref, scratch, sem,
