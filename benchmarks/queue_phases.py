@@ -104,10 +104,10 @@ def regen_block(active, key):
 
 @jax.jit
 def draws_block(pkd, bounce):
-    bkeys = jax.vmap(jax.random.fold_in)(jax.random.wrap_key_data(pkd), bounce)
-    return jax.vmap(
-        lambda k: jax.random.uniform(k, (4 * L + 5,), dtype=jnp.float32)
-    )(bkeys)
+    from tinyraytracing_tpu.ops.rng import bounce_uniforms
+    return jnp.stack(
+        bounce_uniforms(pkd[:, 0], pkd[:, 1], bounce, 4 * L + 5), axis=-1
+    )
 
 
 @jax.jit

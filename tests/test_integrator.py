@@ -165,51 +165,3 @@ def test_persistent_deterministic_and_epochs(test_scene):
     c = np.asarray(render_persistent_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=64))
     assert np.isfinite(c).all() and (c >= 0).all()
     assert abs(a.mean() - c.mean()) / a.mean() < 0.3
-
-
-def test_planar_matches_scan_statistically(test_scene):
-    """The planar deferred-NEE renderer (integrator/planar.py) must
-    estimate the same image as the fixed-depth scan."""
-    from tinyraytracing_tpu.integrator.planar import render_planar_jit
-    from tinyraytracing_tpu.models.procedural import cornell_box
-
-    scene, cam = cornell_box(width=24, height=24)
-    cfg = RenderConfig(intersector="mxu", max_depth=8, tri_chunk=64)
-    a = np.asarray(render(scene, cam, jax.random.PRNGKey(3), cfg, 16))
-    b = np.asarray(
-        render_planar_jit(scene, cam, jax.random.PRNGKey(3), cfg, 16, lanes=4096)
-    )
-    assert np.isfinite(b).all() and (b >= 0).all()
-    assert abs(a.mean() - b.mean()) / a.mean() < 0.1
-    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
-    assert corr > 0.9, corr
-
-
-def test_planar_matches_persistent(test_scene):
-    """Planar vs row-layout persistent renderer on the 26-tri reference
-    smoke scene (exercises textures=off, multi-epoch, deferred NEE)."""
-    from tinyraytracing_tpu.integrator.planar import render_planar_jit
-    from tinyraytracing_tpu.integrator.regen import render_persistent_jit
-
-    scene, cam = test_scene
-    cam = _small_cam(cam, 16)
-    cfg = RenderConfig(intersector="brute", max_depth=8, tri_chunk=64)
-    a = np.asarray(render_persistent_jit(scene, cam, jax.random.PRNGKey(2), cfg, 16, lanes=256))
-    b = np.asarray(render_planar_jit(scene, cam, jax.random.PRNGKey(2), cfg, 16, lanes=256))
-    assert np.isfinite(b).all() and (b >= 0).all()
-    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-9) < 0.1
-    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
-    assert corr > 0.9, corr
-
-
-def test_planar_deterministic(test_scene):
-    from tinyraytracing_tpu.integrator.planar import render_planar_jit
-    from tinyraytracing_tpu.models.procedural import cornell_box
-
-    scene, cam = cornell_box(width=16, height=16)
-    cfg = RenderConfig(intersector="mxu", max_depth=4, tri_chunk=64)
-    a = np.asarray(render_planar_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=256))
-    b = np.asarray(render_planar_jit(scene, cam, jax.random.PRNGKey(1), cfg, 4, lanes=256))
-    np.testing.assert_array_equal(a, b)
-    c = np.asarray(render_planar_jit(scene, cam, jax.random.PRNGKey(8), cfg, 4, lanes=256))
-    assert not np.array_equal(a, c)

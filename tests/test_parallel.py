@@ -122,3 +122,39 @@ def test_fused_sharded_uneven_pixels(scene_cam_bvh):
     mesh = make_mesh(n_tile=8, n_spp=1)
     img, _ = render_fused_sharded(scene, cam, key, cfg, 2, mesh, lanes=256)
     np.testing.assert_array_equal(np.asarray(img), single)
+
+
+def test_queue_sharded_matches_single_device(scene_cam_bvh):
+    """Path-queue sharding of the queue-fed fused renderer: 8 devices each
+    serve a slice of the global path queue; psum'd partial images must
+    agree with the single-device render (allclose, not bitwise — the
+    scatter-add order into a pixel differs; radiance per path is identical
+    because the RNG is path-indexed)."""
+    from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_jit
+    from tinyraytracing_tpu.parallel.mesh import render_queue_sharded
+
+    scene, cam = scene_cam_bvh
+    cfg = RenderConfig(intersector="bvh", max_depth=4)
+    key = jax.random.PRNGKey(11)
+    single = np.asarray(render_fused_queue_jit(scene, cam, key, cfg, 4, lanes=512))
+    mesh = make_mesh(n_tile=8, n_spp=1)
+    img, rays = render_queue_sharded(scene, cam, key, cfg, 4, mesh, lanes=512)
+    np.testing.assert_allclose(np.asarray(img), single, rtol=2e-5, atol=2e-5)
+    assert float(rays) > 0
+
+
+def test_queue_sharded_uneven_paths(scene_cam_bvh):
+    """Global path count not divisible by the device count: the tail
+    device's queue slice extends past W*H*spp and those ids must never
+    start (no duplicated or phantom contributions)."""
+    from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_jit
+    from tinyraytracing_tpu.parallel.mesh import render_queue_sharded
+
+    scene, cam = scene_cam_bvh
+    cam = dataclasses.replace(cam, width=19, height=11)  # 209 px * 3 spp = 627
+    cfg = RenderConfig(intersector="bvh", max_depth=3)
+    key = jax.random.PRNGKey(12)
+    single = np.asarray(render_fused_queue_jit(scene, cam, key, cfg, 3, lanes=256))
+    mesh = make_mesh(n_tile=8, n_spp=1)
+    img, _ = render_queue_sharded(scene, cam, key, cfg, 3, mesh, lanes=256)
+    np.testing.assert_allclose(np.asarray(img), single, rtol=2e-5, atol=2e-5)

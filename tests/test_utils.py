@@ -62,3 +62,46 @@ def test_profiled_render_report():
     assert rep.rays_traced > 12 * 12 * 2  # at least primaries + some shadows
     assert rep.rays_per_s > 0
     assert "rays_per_s" in rep.to_json()
+
+
+def test_threefry_planar_uniformity_and_determinism():
+    import jax
+    import jax.numpy as jnp
+
+    from tinyraytracing_tpu.ops.rng import (
+        bounce_uniforms, master_key_data, path_keys)
+
+    kd = master_key_data(jax.random.PRNGKey(7))
+    pid = jnp.arange(1 << 14, dtype=jnp.int32)
+    k0, k1 = path_keys(kd, pid)
+    us = bounce_uniforms(k0, k1, jnp.zeros_like(pid), 7)
+    u = np.asarray(jnp.stack(us))
+    assert u.shape == (7, 1 << 14)
+    assert (u >= 0).all() and (u < 1).all()
+    assert abs(u.mean() - 0.5) < 0.01
+    assert abs(u.std() - np.sqrt(1 / 12)) < 0.01
+    # counter-based: same inputs -> identical, different bounce -> different
+    v = bounce_uniforms(k0, k1, jnp.zeros_like(pid), 7)
+    np.testing.assert_array_equal(u, np.asarray(jnp.stack(v)))
+    w = bounce_uniforms(k0, k1, jnp.ones_like(pid), 7)
+    assert not np.array_equal(u[0], np.asarray(w[0]))
+    # lane-1 shifted path ids give decorrelated streams
+    c = np.corrcoef(u[0][:-1], u[0][1:])[0, 1]
+    assert abs(c) < 0.05
+
+
+def test_prefix_sum_lanes_exact():
+    import jax.numpy as jnp
+
+    from tinyraytracing_tpu.ops.scan import prefix_sum_lanes
+
+    rng_ = np.random.default_rng(3)
+    for n in (5, 127, 128, 1024, 4097, 70000):
+        x = rng_.integers(0, 3, n).astype(np.int32)
+        got = np.asarray(prefix_sum_lanes(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.cumsum(x))
+        assert got.dtype == np.int32
+    b = rng_.integers(0, 2, 2048).astype(bool)
+    np.testing.assert_array_equal(
+        np.asarray(prefix_sum_lanes(jnp.asarray(b))), np.cumsum(b)
+    )

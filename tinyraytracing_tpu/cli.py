@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--specular-weight", default="ref", choices=["ref", "ks"])
     p.add_argument("--shadow-test", default="mtl", choices=["mtl", "tmin"])
     p.add_argument("--out", default=None, help="output PNG (default basedir/image<SPP>.png)")
+    p.add_argument("--checkpoint", default=None,
+                   help="lane-state snapshot path for resumable long renders "
+                        "(queue renderer); pass with --resume to continue")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if present")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     return p
 
 
@@ -50,6 +57,18 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import dataclasses
+
+    if not args.no_compile_cache:
+        # multi-minute Mosaic/XLA compiles (e.g. veach queue ~4-5 min cold)
+        # are paid once per (scene shape, config) instead of per invocation
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/tinyraytracing_tpu/xla")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     from tinyraytracing_tpu.config import RenderConfig
     from tinyraytracing_tpu.models.scene import load_scene
@@ -108,9 +127,14 @@ def main(argv=None) -> int:
         log.info("BVH: %d nodes", scene.bvh.n_nodes)
 
     out = args.out or os.path.join(args.basedir or ".", f"image{args.spp}.png")
+    prog = lambda it, counter, seconds: log.info(
+        "  chunk done: iter=%d paths_started=%d (%.1fs)", it, counter, seconds
+    )
     with Timer() as t:
         render_image(scene, cam, config, spp=args.spp, seed=args.seed,
-                     out_path=out, renderer=args.renderer, lanes=args.lanes)
+                     out_path=out, renderer=args.renderer, lanes=args.lanes,
+                     checkpoint_path=args.checkpoint, resume=args.resume,
+                     progress=prog)
     n_rays = cam.width * cam.height * args.spp
     log.info("rendered %s in %.2fs (%.3g camera rays/s)", out, t.elapsed, n_rays / t.elapsed)
     return 0

@@ -6,7 +6,7 @@ measured on a TPU v5e; see BASELINE.md):
 1. wavefront.py fixed-depth scan      — correctness baseline, differentiable
 2. regen.py regeneration/persistent   — lane occupancy (RR-killed lanes
    restart immediately), dense epoch writes instead of scatter
-3. planar (retired this round)        — component-planar (R,) state for full
+3. planar (retired, deleted round 3)  — component-planar (R,) state for full
    lane utilization + deferred NEE so each iteration issues ONE trace
 4. THIS — the planar design actually made *slower* by its layout: splitting
    state into (R,) planes split every attribute fetch into its own XLA
@@ -69,6 +69,12 @@ from tinyraytracing_tpu.config import (
 from tinyraytracing_tpu.models.camera import Camera, camera_basis
 from tinyraytracing_tpu.ops import vec
 from tinyraytracing_tpu.ops.lookup import CHAIN_LIMIT, chain_lookup, chain_lookup_planes
+from tinyraytracing_tpu.ops.rng import (
+    bits_to_uniform,
+    bounce_uniforms,
+    master_key_data,
+    path_keys,
+)
 from tinyraytracing_tpu.ops.sampling import PI
 
 _INF = jnp.float32(3.0e38)
@@ -208,15 +214,27 @@ def _nee_geometry(scene, config, l, point, pn, wi, kd_val, ks, ns,
         for k in range(K):
             sel = sel + (prefix[k] <= rnd).astype(jnp.int32)
         sel = jnp.minimum(sel, K - 1)
+        gat = lambda tab: chain_lookup_planes(tab[l], sel)
+        lv0, lv1, lv2 = gat(scene.lt_v0), gat(scene.lt_v1), gat(scene.lt_v2)
+        ln0, ln1, ln2 = gat(scene.lt_n0), gat(scene.lt_n1), gat(scene.lt_n2)
     else:
+        # Big light-triangle table (veach: K=760): ONE fused-row gather.
+        # Round 2 issued 18 separate per-lane gathers here (6 tables x 3
+        # components), measured ~117 ms/iteration at 262K lanes on a v5e
+        # — the single largest term in the 30x kernel-to-render gap. One
+        # (18, K) table gathered once by the selected index is ~4 ms.
         sel = jnp.minimum(
-            jnp.sum((prefix[:, None] <= rnd[None, :]).astype(jnp.int32), axis=0),
+            jnp.sum(prefix[:, None] <= rnd[None, :], axis=0, dtype=jnp.int32),
             K - 1,
         )
-
-    gat = lambda tab: chain_lookup_planes(tab[l], sel)
-    lv0, lv1, lv2 = gat(scene.lt_v0), gat(scene.lt_v1), gat(scene.lt_v2)
-    ln0, ln1, ln2 = gat(scene.lt_n0), gat(scene.lt_n1), gat(scene.lt_n2)
+        tab = jnp.concatenate(
+            [scene.lt_v0[l], scene.lt_v1[l], scene.lt_v2[l],
+             scene.lt_n0[l], scene.lt_n1[l], scene.lt_n2[l]],
+            axis=-1,
+        ).T                                           # (18, K)
+        rows = tab[:, sel]                            # (18, R): one gather
+        lv0, lv1, lv2 = (rows[0], rows[1], rows[2]), (rows[3], rows[4], rows[5]), (rows[6], rows[7], rows[8])
+        ln0, ln1, ln2 = (rows[9], rows[10], rows[11]), (rows[12], rows[13], rows[14]), (rows[15], rows[16], rows[17])
 
     if config.light_sampler == "ref":
         s = u1 + u2 + u3
@@ -341,17 +359,17 @@ def render_fused(
     light_mtl_f = [scene.light_mtl[l].astype(jnp.float32) for l in range(L)]
     shape = (R,)
 
+    key_data = master_key_data(key)
+
     def camera_ray(path_id):
-        """(org, dir, path_key_data) for path ids (R,): jitter from the
+        """(org, dir, path_key_planes) for path ids (R,): jitter from the
         path key's raw bits, the key itself carried for bounce draws."""
         pix = path_id // spp
         i = (pix // W).astype(jnp.float32)
         j = (pix % W).astype(jnp.float32)
-        pkd = jax.random.key_data(jax.vmap(
-            lambda t: jax.random.fold_in(key, t))(path_id))
-        bits = pkd
-        h1 = (bits[..., 0].astype(jnp.uint32) >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
-        h2 = (bits[..., 1].astype(jnp.uint32) >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+        pk0, pk1 = path_keys(key_data, path_id)
+        h1 = bits_to_uniform(pk0)
+        h2 = bits_to_uniform(pk1)
         x = j / (W - 1.0) + (h1 - 0.5) / W
         y = (H - i) / (H - 1.0) + (h2 - 0.5) / H
         d = (
@@ -361,7 +379,7 @@ def render_fused(
         )
         d = vec.normalize(d)
         o = vec.splat(eye, d[0].shape)
-        return o, d, pkd
+        return o, d, (pk0, pk1)
 
     # camera_basis returns (3,) arrays; keep scalar components
     eye = tuple(eye[k] for k in range(3))
@@ -392,8 +410,9 @@ def render_fused(
             # --- regenerate: start the pixel's next sample on dead lanes
             can = ~active & in_range & (samples_done < spp)
             path_id = jnp.where(can, pixel * spp + samples_done, 0)
-            norg, nd, npkd = camera_ray(path_id)
-            pkd = jnp.where(can[:, None], npkd, pkd)
+            norg, nd, npk = camera_ray(path_id)
+            pkd = (jnp.where(can, npk[0], pkd[0]),
+                   jnp.where(can, npk[1], pkd[1]))
             o = vec.where(can, norg, o)
             d = vec.where(can, nd, d)
             ray_type = jnp.where(can, CAMERA, ray_type)
@@ -412,7 +431,9 @@ def render_fused(
             far3 = (far, far, far)
             o = vec.where(active, o, far3)
 
-            # --- ONE fused trace: [bounce rays | L shadow-ray groups]
+            # --- ONE fused trace: [bounce rays | L shadow-ray groups];
+            # shadow legs bound at their light distance (prunes everything
+            # beyond the light), parked/dead lanes bound at 0
             cat = lambda main, sh: jnp.concatenate([main] + sh)
             ox = cat(o[0], [sh_o[l][0] for l in range(L)])
             oy = cat(o[1], [sh_o[l][1] for l in range(L)])
@@ -420,10 +441,14 @@ def render_fused(
             dx = cat(d[0], [sh_d[l][0] for l in range(L)])
             dy = cat(d[1], [sh_d[l][1] for l in range(L)])
             dz = cat(d[2], [sh_d[l][2] for l in range(L)])
+            tb = cat(jnp.where(active, jnp.float32(_INF), 0.0),
+                     [jnp.where(pend_ok[l], pend_dist[l], 0.0)
+                      for l in range(L)])
             t_all, pnx_a, pny_a, pnz_a, tcu_a, tcv_a, mtl_a, em_a = (
-                fused_trace_planes(scene, ox, oy, oz, dx, dy, dz, config)
+                fused_trace_planes(scene, ox, oy, oz, dx, dy, dz, config,
+                                   t_bound=tb)
             )
-            hit_all = t_all < _INF
+            hit_all = mtl_a >= 0.0
             ray_count = ray_count + active.astype(jnp.float32)
             for l in range(L):
                 ray_count = ray_count + pend_ok[l].astype(jnp.float32)
@@ -470,13 +495,10 @@ def render_fused(
 
             # --- per-(path, bounce) uniforms: 4 per light for NEE + 5 for
             # RR/BSDF, all derived from the lane's path key + bounce index
-            # (bitwise scheduling-independent, see module docstring)
-            bkeys = jax.vmap(jax.random.fold_in)(
-                jax.random.wrap_key_data(pkd), bounce
-            )
-            draws = jax.vmap(
-                lambda k: jax.random.uniform(k, (4 * L + 5,), dtype=jnp.float32)
-            )(bkeys)
+            # (bitwise scheduling-independent, see module docstring).
+            # Planar counter-based threefry (ops/rng.py): ~10x cheaper than
+            # round 2's vmap(fold_in) + per-lane uniform((4L+5,)).
+            draws = bounce_uniforms(pkd[0], pkd[1], bounce, 4 * L + 5)
 
             # --- queue THIS bounce's NEE (resolves next iteration)
             # pre-scale by throughput: the pending term is final once visible
@@ -486,8 +508,8 @@ def render_fused(
             for l in range(L):
                 wo, contrib, distl, okl = _nee_geometry(
                     scene, config, l, point, pn, wi, kd_val, ks, ns,
-                    draws[:, 4 * l + 0], draws[:, 4 * l + 1],
-                    draws[:, 4 * l + 2], draws[:, 4 * l + 3],
+                    draws[4 * l + 0], draws[4 * l + 1],
+                    draws[4 * l + 2], draws[4 * l + 3],
                     shade_mask,
                 )
                 new_pend_ok.append(okl)
@@ -503,7 +525,7 @@ def render_fused(
             sh_d = tuple(new_sh_d)
 
             # --- Russian roulette + BSDF continuation
-            u = [draws[:, 4 * L + i] for i in range(5)]
+            u = [draws[4 * L + i] for i in range(5)]
             survive = shade_mask & (u[0] < config.p_rr) & (bounce + 1 < config.max_depth)
             new_dir, new_type = sample_bsdf_planar(
                 d, pn, mat["kd"], ks, ns, mat["ni"],
@@ -564,7 +586,8 @@ def render_fused(
             tuple(jnp.zeros(shape, bool) for _ in range(L)),   # pend_ok
             tuple(z3 for _ in range(L)),         # pend_c
             tuple(zero for _ in range(L)),       # pend_dist
-            jnp.zeros((R, 2), jnp.uint32),       # per-lane path key data
+            (jnp.zeros(shape, jnp.uint32),
+             jnp.zeros(shape, jnp.uint32)),      # per-lane path key planes
             zero,                                # per-lane ray counter (f32)
         )
         state = jax.lax.while_loop(cond, body, state)

@@ -15,8 +15,12 @@ everything the fused generation added:
 
 - the fused trace kernel (ops/pallas_trace.py): per-triangle attribute
   interpolation in-kernel, zero XLA gathers;
-- component-planar state, select-chain material/light lookups;
-- path-indexed counter RNG (draws are a function of (path_id, bounce));
+- component-planar state, select-chain material/light lookups (large
+  light tables use one fused-row gather — integrator/fused._nee_geometry);
+- path-indexed counter RNG: every draw is a pure function of
+  (path_id, bounce) via planar threefry (ops/rng.py);
+- dead-lane ranking via an MXU prefix sum (ops/scan.py) — jnp.cumsum
+  measured ~8-11 ms/iteration at 262K lanes, the MXU scan ~0.1 ms;
 - dead/masked rays parked at origin 1e30 so they fail the root AABB test;
 - queue order == 32x32 image-tile order (integrator.fused.pixel_tile_order)
   with consecutive path ids covering the same pixel's samples, so lane
@@ -25,11 +29,19 @@ everything the fused generation added:
 NEE is IMMEDIATE (not deferred): each iteration dispatches the kernel
 twice — bounce rays, then the L shadow-ray groups of this bounce's shading
 points — and finished paths scatter-add their radiance into the image by
-pixel id. The scatter is the price of queue scheduling (~2-4 ms per
-iteration at 262K lanes); on scenes whose per-iteration kernel time is
-tens of ms it is noise, which is exactly the regime where this renderer
-wins. For tiny-kernel scenes (cornell-class) the pixel-persistent renderer
-remains the better choice; render.py picks by scene size.
+pixel id.
+
+CHUNKED EXECUTION (round 3): the TPU kills any device program that runs
+longer than ~60 s ("UNAVAILABLE: TPU device error" — reproduced with a
+plain loop of trace kernels, no render code involved), which is exactly
+why round 2's one-big-while_loop renders of staircase and the 1M-triangle
+grid faulted. ``render_fused_queue_chunked`` runs the SAME loop body but
+caps each device program at a host-chosen number of iterations (adapted
+to wall time), carrying the full lane state between calls. Chunk
+boundaries do not change any math — the state is identical to pausing
+the while_loop — so images are bitwise-equal to the one-shot renderer.
+The chunked state is also the checkpoint: it can be saved/loaded between
+chunks for resumable long renders (utils/checkpoint.py).
 
 Estimator semantics identical to wavefront.trace / regen renderers
 (reference RayTracingOnCPU/pathTracing.cpp:3-102 NEE + RR + quirk flags).
@@ -43,6 +55,7 @@ Forward-only (lax.while_loop); gradients use the fixed-depth scan path.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -66,31 +79,23 @@ from tinyraytracing_tpu.integrator.fused import (
 )
 from tinyraytracing_tpu.models.camera import Camera, camera_basis
 from tinyraytracing_tpu.ops import vec
+from tinyraytracing_tpu.ops.rng import (
+    bits_to_uniform,
+    bounce_uniforms,
+    master_key_data,
+    path_keys,
+)
+from tinyraytracing_tpu.ops.scan import prefix_sum_lanes
 
 _INF = jnp.float32(3.0e38)
 
 
-def render_fused_queue(
-    scene,
-    cam: Camera,
-    key,
-    config: RenderConfig,
-    spp: int,
-    lanes: int = 262144,
-    max_iters: int | None = None,
-    path_lo=0,
-    n_paths: int | None = None,
-):
-    """Render with the queue-fed fused wavefront.
+def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
+    """Build (R, max_iters, init_state, cond, body) for the queue loop.
 
-    Returns ((n_pix, 3) flat linear image in PIXEL order, traced-ray count
-    f32). ``path_lo`` (may be traced — a shard offset) and ``n_paths``
-    (static) select a slice of the global path queue [0, W*H*spp) for
-    tile-sharded multi-chip rendering; path id p covers sample (p % spp)
-    of pixel order[p // spp]. Requires scene.bvh with a packed PS payload.
+    Shared by the one-shot renderer (tests, CPU, sharding wrappers) and
+    the chunked driver so both run the exact same iteration body.
     """
-    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
-
     W, H = cam.width, cam.height
     n_pix = W * H
     total_all = n_pix * spp
@@ -98,10 +103,9 @@ def render_fused_queue(
         n_paths = total_all
     R = min(lanes, n_paths)
     R = -(-R // 128) * 128
-    if max_iters is None:
-        max_iters = int(
-            n_paths / R * (1.0 / (1.0 - config.p_rr)) * 3
-        ) + config.max_depth + 9
+    max_iters = int(
+        n_paths / R * (1.0 / (1.0 - config.p_rr)) * 3
+    ) + config.max_depth + 9
 
     order_np = pixel_tile_order(W, H)[0]
     order = jnp.asarray(order_np)
@@ -110,15 +114,22 @@ def render_fused_queue(
     L = scene.light_mtl.shape[0]
     light_mtl_f = [scene.light_mtl[l].astype(jnp.float32) for l in range(L)]
     shape = (R,)
+    key_data = master_key_data(key)
+
+    eye = tuple(eye[k] for k in range(3))
+    horizontal = tuple(horizontal[k] for k in range(3))
+    vertical = tuple(vertical[k] for k in range(3))
+    llc = tuple(llc[k] for k in range(3))
+
+    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
 
     def camera_ray(path_id):
         pix = order[jnp.clip(path_id // spp, 0, n_pix - 1)]
         i = (pix // W).astype(jnp.float32)
         j = (pix % W).astype(jnp.float32)
-        pkd = jax.random.key_data(jax.vmap(
-            lambda t: jax.random.fold_in(key, t))(path_id))
-        h1 = (pkd[..., 0].astype(jnp.uint32) >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
-        h2 = (pkd[..., 1].astype(jnp.uint32) >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+        pk0, pk1 = path_keys(key_data, path_id)
+        h1 = bits_to_uniform(pk0)
+        h2 = bits_to_uniform(pk1)
         x = j / (W - 1.0) + (h1 - 0.5) / W
         y = (H - i) / (H - 1.0) + (h2 - 0.5) / H
         d = (
@@ -128,12 +139,7 @@ def render_fused_queue(
         )
         d = vec.normalize(d)
         o = vec.splat(eye, d[0].shape)
-        return o, d, pkd, pix
-
-    eye = tuple(eye[k] for k in range(3))
-    horizontal = tuple(horizontal[k] for k in range(3))
-    vertical = tuple(vertical[k] for k in range(3))
-    llc = tuple(llc[k] for k in range(3))
+        return o, d, (pk0, pk1), pix
 
     def cond(s):
         it, counter, active = s[0], s[1], s[2]
@@ -145,14 +151,17 @@ def render_fused_queue(
 
         # --- regenerate dead lanes from the global queue (tile order)
         dead = ~active
-        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        rank = prefix_sum_lanes(dead) - 1
         new_id = counter + rank
-        can = dead & (new_id < n_paths)
+        # second clause: under sharding the last device's queue slice may
+        # extend past the global path count — those ids must never start
+        can = dead & (new_id < n_paths) & (path_lo + new_id < total_all)
         path_id = jnp.where(can, new_id, path_id)
-        norg, nd, npkd, npix = camera_ray(path_lo + jnp.maximum(path_id, 0))
+        norg, nd, npk, npix = camera_ray(path_lo + jnp.maximum(path_id, 0))
         o = vec.where(can, norg, o)
         d = vec.where(can, nd, d)
-        pkd = jnp.where(can[:, None], npkd, pkd)
+        pkd = (jnp.where(can, npk[0], pkd[0]),
+               jnp.where(can, npk[1], pkd[1]))
         pix = jnp.where(can, npix, pix)
         ray_type = jnp.where(can, CAMERA, ray_type)
         one = jnp.ones(shape, jnp.float32)
@@ -169,11 +178,12 @@ def render_fused_queue(
         far3 = (far, far, far)
         o = vec.where(active, o, far3)
 
-        # --- dispatch 1: bounce rays
+        # --- dispatch 1: bounce rays (dead lanes bound at 0: instant prune)
         t, pnx, pny, pnz, tcu, tcv, mtl, em = fused_trace_planes(
-            scene, o[0], o[1], o[2], d[0], d[1], d[2], config
+            scene, o[0], o[1], o[2], d[0], d[1], d[2], config,
+            t_bound=jnp.where(active, jnp.float32(_INF), 0.0),
         )
-        hit = t < _INF
+        hit = mtl >= 0.0
         ray_count = ray_count + active.astype(jnp.float32)
 
         m = mtl
@@ -198,12 +208,7 @@ def render_fused_queue(
         wi = vec.neg(d)
 
         # --- per-(path, bounce) uniforms (path-indexed counter RNG)
-        bkeys = jax.vmap(jax.random.fold_in)(
-            jax.random.wrap_key_data(pkd), bounce
-        )
-        draws = jax.vmap(
-            lambda k: jax.random.uniform(k, (4 * L + 5,), dtype=jnp.float32)
-        )(bkeys)
+        draws = bounce_uniforms(pkd[0], pkd[1], bounce, 4 * L + 5)
 
         # --- dispatch 2: this bounce's L shadow-ray groups, immediate NEE
         pend = []
@@ -212,14 +217,17 @@ def render_fused_queue(
         for l in range(L):
             wo, contrib, distl, okl = _nee_geometry(
                 scene, config, l, point, pn, wi, kd_val, ks, ns,
-                draws[:, 4 * l + 0], draws[:, 4 * l + 1],
-                draws[:, 4 * l + 2], draws[:, 4 * l + 3],
+                draws[4 * l + 0], draws[4 * l + 1],
+                draws[4 * l + 2], draws[4 * l + 3],
                 shade_mask,
             )
             pend.append((okl, contrib, distl))
             sh_o.append(vec.where(okl, point, far3))
             sh_d.append(vec.where(okl, wo, up))
         cat = lambda xs: jnp.concatenate(xs)
+        # shadow t-bound = the light distance: the walk prunes everything
+        # beyond the light from its first node visit (pending lanes), and
+        # bound 0 parks the rest outright
         st, _, _, _, _, _, smtl, _ = fused_trace_planes(
             scene,
             cat([s[0] for s in sh_o]), cat([s[1] for s in sh_o]),
@@ -227,10 +235,12 @@ def render_fused_queue(
             cat([s[0] for s in sh_d]), cat([s[1] for s in sh_d]),
             cat([s[2] for s in sh_d]),
             config,
+            t_bound=cat([jnp.where(okl, distl, 0.0)
+                         for (okl, _, distl) in pend]),
         )
         for l, (okl, contrib, distl) in enumerate(pend):
             sl = slice(l * R, (l + 1) * R)
-            sh_hit = st[sl] < _INF
+            sh_hit = smtl[sl] >= 0.0
             if config.shadow_test == "mtl":
                 vis = sh_hit & (smtl[sl] == light_mtl_f[l])
             else:
@@ -244,7 +254,7 @@ def render_fused_queue(
             ray_count = ray_count + okl.astype(jnp.float32)
 
         # --- Russian roulette + BSDF continuation
-        u = [draws[:, 4 * L + i] for i in range(5)]
+        u = [draws[4 * L + i] for i in range(5)]
         survive = shade_mask & (u[0] < config.p_rr) & (bounce + 1 < config.max_depth)
         new_dir, new_type = sample_bsdf_planar(
             d, pn, mat["kd"], ks, ns, mat["ni"],
@@ -283,27 +293,158 @@ def render_fused_queue(
         return (it + 1, counter, active, path_id, pix, bounce, o, d,
                 ray_type, thr, rad, pkd, img, ray_count)
 
-    zero = jnp.zeros(shape, jnp.float32)
-    one = jnp.ones(shape, jnp.float32)
-    z3 = (zero, zero, zero)
-    up0 = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
-    state = (
-        jnp.int32(0),
-        jnp.int32(0),                        # queue counter
-        jnp.zeros(shape, bool),              # active
-        jnp.zeros(shape, jnp.int32),         # path_id
-        jnp.zeros(shape, jnp.int32),         # pixel
-        jnp.zeros(shape, jnp.int32),         # bounce
-        z3,                                  # o
-        up0,                                 # d
-        jnp.full(shape, CAMERA, jnp.int32),  # ray_type
-        (one, one, one),                     # throughput
-        z3,                                  # radiance
-        jnp.zeros((R, 2), jnp.uint32),       # path key data
-        jnp.zeros((n_pix, 3), jnp.float32),  # image (pixel order)
-        zero,                                # per-lane ray counter
+    def init_state():
+        zero = jnp.zeros(shape, jnp.float32)
+        one = jnp.ones(shape, jnp.float32)
+        z3 = (zero, zero, zero)
+        up0 = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
+        return (
+            jnp.int32(0),
+            jnp.int32(0),                        # queue counter
+            jnp.zeros(shape, bool),              # active
+            jnp.zeros(shape, jnp.int32),         # path_id
+            jnp.zeros(shape, jnp.int32),         # pixel
+            jnp.zeros(shape, jnp.int32),         # bounce
+            z3,                                  # o
+            up0,                                 # d
+            jnp.full(shape, CAMERA, jnp.int32),  # ray_type
+            (one, one, one),                     # throughput
+            z3,                                  # radiance
+            (jnp.zeros(shape, jnp.uint32),
+             jnp.zeros(shape, jnp.uint32)),      # path key planes
+            jnp.zeros((n_pix, 3), jnp.float32),  # image (pixel order)
+            zero,                                # per-lane ray counter
+        )
+
+    return R, max_iters, init_state, cond, body
+
+
+def render_fused_queue(
+    scene,
+    cam: Camera,
+    key,
+    config: RenderConfig,
+    spp: int,
+    lanes: int = 262144,
+    max_iters: int | None = None,
+    path_lo=0,
+    n_paths: int | None = None,
+):
+    """Render with the queue-fed fused wavefront (one device program).
+
+    Returns ((n_pix, 3) flat linear image in PIXEL order, traced-ray count
+    f32). ``path_lo`` (may be traced — a shard offset) and ``n_paths``
+    (static) select a slice of the global path queue [0, W*H*spp) for
+    tile-sharded multi-chip rendering; path id p covers sample (p % spp)
+    of pixel order[p // spp]. Requires scene.bvh with a packed PS payload.
+
+    NB: one device program — long renders on the real TPU must use
+    ``render_fused_queue_chunked`` (the ~60 s program watchdog, module
+    docstring). This entry is used by tests, CPU runs, and shard_map
+    wrappers over small per-device slices.
+    """
+    _, auto_max, init_state, cond, body = _queue_setup(
+        scene, cam, key, config, spp, lanes, path_lo, n_paths
     )
-    state = jax.lax.while_loop(cond, body, state)
+    if max_iters is not None and max_iters != auto_max:
+        capped = lambda s: cond(s) & (s[0] < max_iters)
+    else:
+        capped = cond
+    state = jax.lax.while_loop(capped, body, init_state())
+    img, ray_count = state[-2], state[-1]
+    return img, jnp.sum(ray_count)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "spp", "lanes", "n_paths"),
+    donate_argnums=(3,),
+)
+def _queue_chunk(scene, cam, key, state, stop, path_lo, config, spp,
+                 lanes, n_paths):
+    """Run the queue loop until ``stop`` iterations (traced) or done."""
+    _, _, _, cond, body = _queue_setup(
+        scene, cam, key, config, spp, lanes, path_lo, n_paths
+    )
+    return jax.lax.while_loop(
+        lambda s: cond(s) & (s[0] < stop), body, state
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "spp", "lanes", "n_paths"))
+def _queue_init(scene, cam, key, config, spp, lanes, n_paths):
+    _, _, init_state, _, _ = _queue_setup(
+        scene, cam, key, config, spp, lanes, 0, n_paths
+    )
+    return init_state()
+
+
+def render_fused_queue_chunked(
+    scene,
+    cam: Camera,
+    key,
+    config: RenderConfig,
+    spp: int,
+    lanes: int = 262144,
+    target_chunk_s: float = 8.0,
+    checkpoint_path: str | None = None,
+    checkpoint_every_s: float = 120.0,
+    resume: bool = False,
+    progress=None,
+    path_lo: int = 0,
+    n_paths: int | None = None,
+):
+    """Host-chunked queue render: bitwise-identical to the one-shot loop,
+    but no device program exceeds ~``target_chunk_s`` (the TPU watchdog
+    kills programs around 60 s). Returns ((n_pix, 3) image, rays f32).
+
+    With ``checkpoint_path`` the full lane state is snapshotted every
+    ``checkpoint_every_s`` and on completion removed; ``resume=True``
+    restarts from the snapshot if present (key/spp/lanes must match).
+    """
+    from tinyraytracing_tpu.utils import checkpoint as ckpt
+
+    R, max_iters, _, _, _ = _queue_setup(
+        scene, cam, key, config, spp, lanes, path_lo, n_paths
+    )
+    meta = dict(spp=spp, lanes=lanes, path_lo=path_lo,
+                n_paths=n_paths if n_paths is not None else -1,
+                W=cam.width, H=cam.height)
+    state = _queue_init(scene, cam, key, config, spp, lanes, n_paths)
+    if resume and checkpoint_path:
+        leaves = ckpt.load_queue_state(checkpoint_path, meta)
+        treedef = jax.tree_util.tree_structure(state)
+        if leaves is not None and len(leaves) == treedef.num_leaves:
+            state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in leaves]
+            )
+
+    it = int(state[0])
+    chunk = 4
+    last_ckpt = time.perf_counter()
+    while True:
+        t0 = time.perf_counter()
+        state = _queue_chunk(
+            scene, cam, key, state, jnp.int32(it + chunk), path_lo,
+            config, spp, lanes, n_paths,
+        )
+        it_new = int(state[0])         # syncs the chunk
+        dt = time.perf_counter() - t0
+        did = it_new - it
+        it = it_new
+        if progress is not None:
+            progress(it=it, counter=int(state[1]), seconds=dt)
+        if did < chunk or it >= max_iters:
+            break
+        # adapt chunk size to the wall-time target (growth-capped so the
+        # compile-inflated first measurement cannot overshoot the watchdog)
+        per = dt / max(did, 1)
+        chunk = max(1, min(chunk * 4, int(target_chunk_s / max(per, 1e-4))))
+        if checkpoint_path and time.perf_counter() - last_ckpt > checkpoint_every_s:
+            ckpt.save_queue_state(checkpoint_path, state, meta)
+            last_ckpt = time.perf_counter()
+    if checkpoint_path:
+        ckpt.clear_queue_state(checkpoint_path)
     img, ray_count = state[-2], state[-1]
     return img, jnp.sum(ray_count)
 

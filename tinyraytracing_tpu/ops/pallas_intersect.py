@@ -169,7 +169,7 @@ def pallas_intersect_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
                             config: RenderConfig):
     """Planar entry: six (R,) component planes in, planar hit out —
     (t, idx, u, v) each (R,). Skips all (R, 3) marshalling so callers that
-    already carry state as component planes (integrator/planar.py) pay no
+    already carry state as component planes (integrator/fused.py) pay no
     relayout on either side of the kernel."""
     T = scene.v0.shape[0]
     P, n_chunks = pack_triangle_slots(

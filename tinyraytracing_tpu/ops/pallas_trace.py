@@ -64,9 +64,17 @@ SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
 SMEM_NODE_LIMIT = 1024
 
 
-def _walk(ox, oy, oz, dx, dy, dz, read_node, ps_ref, scratch, sem,
+def _walk(ox, oy, oz, dx, dy, dz, tb, read_node, ps_ref, scratch, sem,
           *, n_nodes, L, t_min, graze, tie_eps):
-    """One ray packet's tree walk; returns best (t, pn, tc, mtl, em)."""
+    """One ray packet's tree walk; returns best (t, pn, tc, mtl, em).
+
+    ``tb`` is the per-ray INITIAL best-t (t-bound): INF for closest-hit
+    queries; the light distance for shadow queries, which prunes every
+    node/triangle beyond the light from the first visit (the per-lane
+    best-t test below also shrinks the packet's node union). A ray that
+    never beats its bound reports t == bound and mtl == -1 — callers
+    detect hits via ``mtl >= 0`` (misses also keep em == 0).
+    """
     shp = ox.shape
     big = jnp.float32(_INF)
     invx = jnp.where(dx == 0.0, big, 1.0) / jnp.where(dx == 0.0, 1.0, dx)
@@ -175,13 +183,13 @@ def _walk(ox, oy, oz, dx, dy, dz, read_node, ps_ref, scratch, sem,
         return (nxt,) + carry
 
     zero = jnp.zeros(shp, jnp.float32)
-    init = (jnp.int32(0), jnp.full(shp, _INF), zero, zero, zero + 1.0,
-            zero, zero, zero, zero)
+    init = (jnp.int32(0), tb, zero, zero, zero + 1.0,
+            zero, zero, zero - 1.0, zero)
     out = jax.lax.while_loop(cond, body, init)
     return out[1:]
 
 
-def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                  box_ref, meta_ref, ps_ref,
                  t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
                  mtl_out, em_out, scratch, sem,
@@ -195,7 +203,8 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     def tile(ti, _):
         r0 = ti * _ROWS
         args = [r[pl.ds(r0, _ROWS), :]
-                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)]
+                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tb_ref)]
         bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
             *args, read_node, ps_ref, scratch, sem,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
@@ -214,7 +223,7 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
-def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 node_ref, ps_ref,
                 t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
                 mtl_out, em_out, scratch, nscratch, sem, nsem,
@@ -236,7 +245,8 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     def tile(ti, _):
         r0 = ti * _ROWS
         args = [r[pl.ds(r0, _ROWS), :]
-                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)]
+                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tb_ref)]
         bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
             *args, read_node, ps_ref, scratch, sem,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
@@ -255,7 +265,7 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
-def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz,
+def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb,
                            config: RenderConfig):
     """Pure-JAX reference implementation of the fused trace: the while_loop
     BVH intersector + XLA gathers of the shading attributes. Used (a) on
@@ -274,39 +284,51 @@ def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz,
     tc = [interp(scene.t0, scene.t1, scene.t2, k) for k in range(2)]
     mtl = scene.tri_mtl[idx].astype(jnp.float32)
     em = scene.tri_emissive[idx].astype(jnp.float32)
-    miss = ~hit.hit
+    # t-bound semantics as in _walk: hits at/beyond the bound (outside the
+    # tie band that admits the light surface itself) are misses
+    miss = ~hit.hit | (hit.t > tb * (1.0 + config.tie_eps))
     zero = jnp.zeros_like(hit.t)
     pn = (jnp.where(miss, 0.0, pn[0]), jnp.where(miss, 0.0, pn[1]),
           jnp.where(miss, 1.0, pn[2]))
-    return (hit.t, pn[0], pn[1], pn[2],
+    return (jnp.where(miss, jnp.minimum(tb, _INF), hit.t),
+            pn[0], pn[1], pn[2],
             jnp.where(miss, 0.0, tc[0]), jnp.where(miss, 0.0, tc[1]),
-            jnp.where(miss, 0.0, mtl), jnp.where(miss, 0.0, em))
+            jnp.where(miss, -1.0, mtl), jnp.where(miss, 0.0, em))
 
 
 @functools.partial(jax.jit, static_argnames=("config", "force_kernel"))
 def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
-                       config: RenderConfig, force_kernel: bool = False):
+                       config: RenderConfig, force_kernel: bool = False,
+                       t_bound=None):
     """Fused closest-hit + shading-attribute trace.
 
     Planar in, planar out: six (R,) ray component planes -> a tuple of
     (t, pn_x, pn_y, pn_z, tc_u, tc_v, mtl, em) (R,) planes. ``pn`` is the
     UNNORMALIZED barycentric-interpolated shading normal (the integrator
     normalizes once), ``tc`` the interpolated texcoord, ``mtl`` the material
-    id carried as f32, ``em`` the hit triangle's emissive flag. Misses have
-    t = INF (3e38) and pn = (0, 0, 1).
+    id carried as f32 (MISSES have mtl == -1), ``em`` the hit triangle's
+    emissive flag. Misses keep t at the bound (INF by default).
+
+    ``t_bound``: optional (R,) per-ray initial best-t. Shadow queries pass
+    the light distance — the walk then prunes everything beyond the light
+    from its first node visit (big win on deep trees; see _walk). A hit is
+    ``mtl >= 0`` (t < INF remains equivalent for unbounded queries).
 
     On CPU backends dispatches to the pure-JAX reference path unless
     ``force_kernel`` (tests) — Pallas interpret mode re-interprets the walk
     per call, minutes per invocation.
     """
+    if t_bound is None:
+        t_bound = jnp.full_like(ox, _INF)
     if jax.default_backend() == "cpu" and not force_kernel:
-        return _fused_trace_reference(scene, ox, oy, oz, dx, dy, dz, config)
+        return _fused_trace_reference(scene, ox, oy, oz, dx, dy, dz,
+                                      t_bound, config)
     pk = scene.bvh.packed
     R = ox.shape[0]
 
     super_rays = min(SUPER_TILES * RAY_TILE, RAY_TILE * -(-R // RAY_TILE))
     pad_r = (-R) % super_rays
-    comps = [ox, oy, oz, dx, dy, dz]
+    comps = [ox, oy, oz, dx, dy, dz, t_bound]
     if pad_r:
         comps = [jnp.pad(c, (0, pad_r)) for c in comps]
     Rp = comps[0].shape[0]
@@ -364,7 +386,7 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
         kern,
         grid=(n_super,),
         interpret=jax.default_backend() == "cpu",    # tests run on CPU
-        in_specs=[ray_spec] * 6 + extra_in,
+        in_specs=[ray_spec] * 7 + extra_in,
         out_specs=[out_spec] * 8,
         out_shape=out_shape,
         scratch_shapes=scratch,

@@ -177,3 +177,63 @@ def render_fused_sharded(
     if mesh is None:
         mesh = make_mesh()
     return _render_fused_sharded_jit(scene, cam, key, config, spp, mesh, lanes)
+
+
+# ---------------------------------------------------------------------------
+# sharded QUEUE renderer (the auto-picked path for non-trivial scenes)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config", "spp", "mesh", "lanes"))
+def _render_queue_sharded_jit(scene, cam, key, config, spp, mesh, lanes):
+    """Shard the GLOBAL PATH QUEUE of the queue-fed fused renderer: device
+    i serves queue slice [i*per, (i+1)*per) of the W*H*spp paths (tile
+    order, so each device's refills stay spatially coherent), renders into
+    its own (n_pix, 3) partial image, and the partials are psum'd. The
+    path-indexed RNG makes every path's radiance independent of which
+    device traces it; only the float add order differs from a
+    single-device render (allclose, not bitwise — fused_queue docstring).
+    """
+    from jax import shard_map
+
+    from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue
+
+    W, H = cam.width, cam.height
+    total = W * H * spp
+    D = mesh.devices.size
+    per = -(-total // D)
+    lanes_dev = min(lanes, per)
+
+    def body(scene, cam, key):
+        i = jax.lax.axis_index("tile")
+        img, rays = render_fused_queue(
+            scene, cam, key, config, spp,
+            lanes=lanes_dev, path_lo=i * per, n_paths=per,
+        )
+        return jax.lax.psum(img, "tile"), jax.lax.psum(rays, "tile")
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("tile",))
+    fn = shard_map(
+        body,
+        mesh=flat_mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    img, rays = fn(scene, cam, key)
+    return img.reshape(H, W, 3), rays
+
+
+def render_queue_sharded(
+    scene: Scene,
+    cam: Camera,
+    key,
+    config: RenderConfig,
+    spp: int,
+    mesh: Mesh | None = None,
+    lanes: int = 262144,
+):
+    """Multi-chip queue-fed fused render (path-queue sharding); returns
+    ((H, W, 3) image, traced rays)."""
+    if mesh is None:
+        mesh = make_mesh()
+    return _render_queue_sharded_jit(scene, cam, key, config, spp, mesh, lanes)

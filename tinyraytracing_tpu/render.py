@@ -98,6 +98,9 @@ def render_image(
     out_path: str | None = None,
     renderer: str = "auto",
     lanes: int = 262144,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
+    progress=None,
 ) -> np.ndarray:
     """Convenience wrapper: render, pull to host, optionally write a PNG
     (reference naming: <basedir>/image<SPP>.png, main.cpp:26). Returns the
@@ -106,7 +109,9 @@ def render_image(
     ``renderer``: 'auto' (flagship fused wavefront, scheduling picked by
     scene size), 'persistent' (fused pixel-persistent), 'queue' (queue-fed
     fused), or 'scan' (fixed-depth differentiable scan — the slow reference
-    path, also used by gradients)."""
+    path, also used by gradients). On an accelerator backend the queue
+    renderer runs host-chunked (no device program outlives the ~60 s TPU
+    watchdog) and supports checkpoint/resume via ``checkpoint_path``."""
     spp_val = spp or config.spp
     key = jax.random.PRNGKey(seed)
     if renderer == "auto":
@@ -120,12 +125,23 @@ def render_image(
             from tinyraytracing_tpu.integrator.fused import render_fused_jit
 
             img = render_fused_jit(scene, cam, key, config, spp_val, lanes)
-        else:
+        elif jax.default_backend() == "cpu":
             from tinyraytracing_tpu.integrator.fused_queue import (
                 render_fused_queue_jit,
             )
 
             img = render_fused_queue_jit(scene, cam, key, config, spp_val, lanes)
+        else:
+            from tinyraytracing_tpu.integrator.fused_queue import (
+                render_fused_queue_chunked,
+            )
+
+            img, _ = render_fused_queue_chunked(
+                scene, cam, key, config, spp_val, lanes,
+                checkpoint_path=checkpoint_path, resume=resume,
+                progress=progress,
+            )
+            img = img.reshape(cam.height, cam.width, 3)
     elif renderer == "scan":
         img = render(scene, cam, key, config, spp)
     else:

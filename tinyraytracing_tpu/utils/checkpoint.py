@@ -1,11 +1,16 @@
 """Render checkpoint/resume.
 
 The reference renders in one shot; a crash loses everything (SURVEY.md §5:
-"Checkpoint / resume: None"). Here long renders are spp-chunked and the
-Monte-Carlo accumulator (sum image + sample count + base key) is persisted
-every chunk — resuming continues the EXACT same sample sequence because
-keys are counter-based (fold_in by global sample index), so a resumed
-render is bitwise-identical to an uninterrupted one.
+"Checkpoint / resume: None"). Two mechanisms here:
+
+- ``render_checkpointed``: spp-chunked scan-path render persisting the
+  Monte-Carlo accumulator every chunk — resuming continues the EXACT same
+  sample sequence (counter-based keys), bitwise-identical to an
+  uninterrupted render.
+- ``save/load/clear_queue_state``: full lane-state snapshots for the
+  chunked queue renderer (integrator/fused_queue.py) — the flagship
+  multi-minute renders are resumable at chunk granularity, and a resumed
+  render is bitwise-identical because the snapshot IS the loop state.
 """
 
 from __future__ import annotations
@@ -17,6 +22,45 @@ import numpy as np
 
 from tinyraytracing_tpu.config import RenderConfig
 from tinyraytracing_tpu.render import render_pass
+
+
+def _atomic_savez(path: str, **arrays) -> None:
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def save_queue_state(path: str, state, meta: dict) -> None:
+    """Snapshot the queue renderer's lane state (a pytree of arrays)."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["n_leaves"] = np.int64(len(leaves))
+    for k, v in meta.items():
+        arrays[f"meta_{k}"] = np.asarray(v)
+    _atomic_savez(path, **arrays)
+
+
+def load_queue_state(path: str, meta: dict):
+    """Load a queue-state snapshot; returns the state leaves re-nested by
+    position (caller's treedef order), or None if absent/incompatible."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        for k, v in meta.items():
+            mk = f"meta_{k}"
+            if mk not in z or not np.array_equal(z[mk], np.asarray(v)):
+                return None
+        n = int(z["n_leaves"])
+        leaves = [z[f"leaf_{i}"] for i in range(n)]
+    # the queue state is a fixed-shape nested tuple; rebuild by structure
+    # of a template at the call site — here we return flat leaves wrapped
+    # as jnp arrays in the saved order and let the caller re-tree them.
+    return leaves
+
+
+def clear_queue_state(path: str) -> None:
+    if os.path.exists(path):
+        os.remove(path)
 
 
 def render_checkpointed(
