@@ -1,77 +1,128 @@
 """Benchmark driver — prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "scenes": {...}}
 
-Headline metric: traced ray segments per second per chip (closest-hit rays
-that are actually alive per bounce + NEE shadow rays) on the Cornell-box
-scene at 512x512, the wavefront forward path. ``vs_baseline`` is the ratio
-against the measured CPU reference baseline (baselines/cpu_baseline.json,
-produced by baselines/run_cpu_baseline.py reimplementing the reference
-algorithm); falls back to the BASELINE.json north-star target (5e8
-rays/s/chip) if no measured baseline exists yet.
+Headline metric: GEOMEAN of full-render traced-rays/s over the flagship
+renderer on three scenes (the round-2 verdict's ask — bench.py must report
+the renderer users actually get, on the reference's real scenes):
+
+- cornell 512x512 @ 16 spp (32 tris)       — fused pixel-persistent
+- veach-mis 1280x720 @ 8 spp (2,332 tris)  — queue-fed fused, chunked
+- staircase 1280x720 @ 8 spp (31,407 tris) — queue-fed fused, chunked
+  (the reference's flagship scene: 6 lights, 3 textures, glass)
+
+``vs_baseline`` is the geomean of per-scene ratios against the measured
+CPU reference baseline (baselines/cpu_scenes.json: the reference
+algorithm reimplemented in baselines/cpu_reference.cc, run on this
+machine's 2 cores — the reference itself publishes no numbers).
+
+Env knobs: BENCH_SCENES="cornell veach staircase" subset, BENCH_SPP,
+BENCH_LANES, BENCH_LEAF (big-scene BVH leaf width, default 32 — measured
+1.4x over the reference's 8 on staircase; estimator-independent).
 
 Runs on whatever jax.devices() provides (the real TPU under the driver).
+Renders are chunked so no device program outlives the ~60 s TPU watchdog
+(integrator/fused_queue.py docstring).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+SCENES_DIR = "/root/reference/RayTracingOnCPU/example-scenes-cg22"
+
+
+def _bench(render, *args, **kwargs):
+    """(rays/s, mean) of the SECOND run (first pays compile + buffer setup)."""
+    img, rays = render(*args, **kwargs)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    img, rays = render(*args, **kwargs)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    return float(rays) / dt, float(img.mean())
 
 
 def main():
     from tinyraytracing_tpu.config import RenderConfig
-    from tinyraytracing_tpu.integrator.regen import render_persistent
-    from tinyraytracing_tpu.models.procedural import cornell_box
-
-    W = H = int(os.environ.get("BENCH_SIZE", 512))
-    spp = int(os.environ.get("BENCH_SPP", 16))
-    lanes = int(os.environ.get("BENCH_LANES", 262144))
-    config = RenderConfig(intersector="pallas", max_depth=16)
-    scene, cam = cornell_box(width=W, height=H)
-
-    # scene closed over as a jit constant: a render job's scene is static,
-    # and XLA folds the camera/material tables (~1.4x vs passing as args)
-    render = jax.jit(
-        lambda key: render_persistent(scene, cam, key, config, spp, lanes)
+    from tinyraytracing_tpu.integrator.fused import render_fused_stats_jit
+    from tinyraytracing_tpu.integrator.fused_queue import (
+        render_fused_queue_chunked,
     )
+    from tinyraytracing_tpu.models.procedural import cornell_box
+    from tinyraytracing_tpu.models.scene import load_scene
+    from tinyraytracing_tpu.ops.bvh import attach_bvh
+
+    which = os.environ.get("BENCH_SCENES", "cornell veach staircase").split()
+    spp = int(os.environ.get("BENCH_SPP", 8))
+    lanes = int(os.environ.get("BENCH_LANES", 262144))
+    leaf = int(os.environ.get("BENCH_LEAF", 32))
     key = jax.random.PRNGKey(0)
-    # warmup/compile (the first post-compile run also pays one-time buffer
-    # setup through the device tunnel — measured ~1.9x; warm up twice)
-    for k in range(2):
-        img, nrays = render(jax.random.fold_in(key, k))
-        jax.block_until_ready(img)
+    results = {}
 
-    dt = float("inf")
-    for k in range(2, 4):
-        t0 = time.perf_counter()
-        img, nrays = render(jax.random.fold_in(key, k))
-        jax.block_until_ready(img)
-        dt = min(dt, time.perf_counter() - t0)
+    if "cornell" in which:
+        cfg = RenderConfig(intersector="pallas", max_depth=16)
+        scene, cam = cornell_box(width=512, height=512)
+        scene = attach_bvh(scene, cfg)
+        cspp = int(os.environ.get("BENCH_SPP_CORNELL", 16))
+        rps, mean = _bench(
+            render_fused_stats_jit, scene, cam, key, cfg, cspp, lanes
+        )
+        results["cornell512"] = dict(rays_per_s=round(rps, 1), mean=round(mean, 4))
 
-    rays_per_s = int(nrays) / dt
+    cfg_big = RenderConfig(intersector="auto", max_depth=16, leaf_size=leaf)
+    for name, tag in (("veach-mis", "veach"), ("staircase", "staircase")):
+        if tag not in which and name not in which:
+            continue
+        scene, cam = load_scene(
+            f"{SCENES_DIR}/{name}/{name}.xml",
+            f"{SCENES_DIR}/{name}/{name}.obj",
+            f"{SCENES_DIR}/{name}/{name}.mtl",
+            f"{SCENES_DIR}/{name}", with_bvh=True, leaf_size=leaf,
+        )
+        rps, mean = _bench(
+            render_fused_queue_chunked, scene, cam, key, cfg_big, spp,
+            lanes=lanes, target_chunk_s=10.0,
+        )
+        results[name] = dict(rays_per_s=round(rps, 1), mean=round(mean, 4))
 
-    baseline = None
-    bpath = os.path.join(os.path.dirname(__file__), "baselines", "cpu_baseline.json")
+    base = {}
+    bpath = os.path.join(os.path.dirname(__file__), "baselines", "cpu_scenes.json")
     if os.path.exists(bpath):
         with open(bpath) as f:
-            b = json.load(f)
-        baseline = b.get("rays_per_s")
-    if not baseline:
-        baseline = 5e8  # BASELINE.json north-star target
+            base = {k: v["rays_per_s"] for k, v in json.load(f)["scenes"].items()}
+
+    vals = [r["rays_per_s"] for r in results.values()]
+    geomean = 1.0
+    for v in vals:
+        geomean *= v
+    geomean **= 1.0 / max(len(vals), 1)
+
+    ratios = [
+        r["rays_per_s"] / base[k] for k, r in results.items() if k in base
+    ]
+    vs = 1.0
+    for r in ratios:
+        vs *= r
+    vs **= 1.0 / max(len(ratios), 1)
 
     print(
         json.dumps(
             {
-                "metric": f"traced_rays_per_s_per_chip_cornell{W}",
-                "value": round(rays_per_s, 1),
+                "metric": f"full_render_rays_per_s_geomean{len(vals)}",
+                "value": round(geomean, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / baseline, 4),
+                "vs_baseline": round(vs, 4),
+                "scenes": results,
             }
         )
     )

@@ -21,18 +21,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from tinyraytracing_tpu.config import RenderConfig
 from tinyraytracing_tpu.integrator.fused import render_fused_stats_jit
-from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_stats_jit
+from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_chunked
 from tinyraytracing_tpu.models.procedural import quad_grid
 from tinyraytracing_tpu.ops.bvh import attach_bvh
 
 SPP = int(os.environ.get("BENCH_SPP", 4))
+LEAF = int(os.environ.get("BENCH_LEAF", 32))  # 32: ~1.4x over ref leaf 8 at scale
 LANES = int(os.environ.get("BENCH_LANES", 262144))
 RENDERER = os.environ.get("BENCH_RENDERER", "queue")
+def _queue_chunked(scene, cam, key, cfg, spp, lanes):
+    # host-chunked: no device program outlives the ~60s TPU watchdog
+    img, rays = render_fused_queue_chunked(
+        scene, cam, key, cfg, spp, lanes=lanes, target_chunk_s=10.0)
+    return img.reshape(cam.height, cam.width, 3), rays
+
+
 _render = {"fused": render_fused_stats_jit,
-           "queue": render_fused_queue_stats_jit}[RENDERER]
+           "queue": _queue_chunked}[RENDERER]
 
 sizes = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
-cfg = RenderConfig(intersector="auto", max_depth=16)
+cfg = RenderConfig(intersector="auto", max_depth=16, leaf_size=LEAF)
 
 for n in sizes:
     t0 = time.perf_counter()

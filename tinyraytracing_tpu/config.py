@@ -72,6 +72,15 @@ class RenderConfig:
     light_sampler: str = "ref"     # ref | uniform
     specular_weight: str = "ref"   # ref | ks
     shadow_test: str = "mtl"       # mtl | tmin
+    # queue-renderer refill granularity. "lane": a dead lane immediately
+    # takes the next queue entry (~100% occupancy, but packets drift into
+    # incoherent path mixtures as lanes die at different times — on big
+    # trees the packet-union walk then visits a large tree fraction).
+    # "row": a 128-lane row refills only when wholly dead, so each row is
+    # always 128 CONSECUTIVE tile-order paths (spatially tight); costs
+    # occupancy (survivors park rows) but shrinks the walk union. The
+    # t-bound parking makes waiting lanes nearly free in-kernel.
+    queue_refill: str = "lane"     # lane | row
     # differentiation: detach sampled directions / discrete decisions so
     # the backward pass is the path-replay interior-term estimator
     detach_sampling: bool = True

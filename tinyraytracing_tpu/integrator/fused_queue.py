@@ -151,11 +151,18 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
 
         # --- regenerate dead lanes from the global queue (tile order)
         dead = ~active
-        rank = prefix_sum_lanes(dead) - 1
+        if config.queue_refill == "row":
+            # refill only rows that died completely: rows then always hold
+            # 128 consecutive tile-order paths (see config.queue_refill)
+            row_dead = jnp.all(dead.reshape(-1, 128), axis=1)
+            elig = jnp.broadcast_to(row_dead[:, None], (R // 128, 128)).reshape(-1)
+        else:
+            elig = dead
+        rank = prefix_sum_lanes(elig) - 1
         new_id = counter + rank
         # second clause: under sharding the last device's queue slice may
         # extend past the global path count — those ids must never start
-        can = dead & (new_id < n_paths) & (path_lo + new_id < total_all)
+        can = elig & (new_id < n_paths) & (path_lo + new_id < total_all)
         path_id = jnp.where(can, new_id, path_id)
         norg, nd, npk, npix = camera_ray(path_lo + jnp.maximum(path_id, 0))
         o = vec.where(can, norg, o)
@@ -171,7 +178,7 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
         bounce = jnp.where(can, 0, bounce)
         active = active | can
         counter = jnp.minimum(
-            counter + jnp.sum(dead.astype(jnp.int32)), n_paths
+            counter + jnp.sum(elig.astype(jnp.int32)), n_paths
         )
 
         far = jnp.full(shape, _FAR, jnp.float32)
