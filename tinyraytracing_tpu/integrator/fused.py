@@ -218,23 +218,39 @@ def _nee_geometry(scene, config, l, point, pn, wi, kd_val, ks, ns,
         lv0, lv1, lv2 = gat(scene.lt_v0), gat(scene.lt_v1), gat(scene.lt_v2)
         ln0, ln1, ln2 = gat(scene.lt_n0), gat(scene.lt_n1), gat(scene.lt_n2)
     else:
-        # Big light-triangle table (veach: K=760): ONE fused-row gather.
-        # Round 2 issued 18 separate per-lane gathers here (6 tables x 3
-        # components), measured ~117 ms/iteration at 262K lanes on a v5e
-        # — the single largest term in the 30x kernel-to-render gap. One
-        # (18, K) table gathered once by the selected index is ~4 ms.
-        sel = jnp.minimum(
-            jnp.sum(prefix[:, None] <= rnd[None, :], axis=0, dtype=jnp.int32),
-            K - 1,
-        )
+        # Big light-triangle table (veach: K=760). Round 2 issued 18
+        # separate per-lane gathers here (6 tables x 3 components),
+        # measured ~117 ms/iteration at 262K lanes on a v5e — the single
+        # largest term in the 30x kernel-to-render gap. Now: the CDF pick
+        # and the row fetch are ONE fused MXU one-hot matmul — the
+        # compare plane doubles as the (exact bf16 0/1) one-hot operand,
+        # and dotting it against the (K, 18) table at HIGHEST precision
+        # selects the row exactly (products are val*1 / val*0). Measured
+        # ~5 ms vs ~7.5-8.4 ms for gather variants, vs 117 ms round 2.
         tab = jnp.concatenate(
             [scene.lt_v0[l], scene.lt_v1[l], scene.lt_v2[l],
              scene.lt_n0[l], scene.lt_n1[l], scene.lt_n2[l]],
             axis=-1,
-        ).T                                           # (18, K)
-        rows = tab[:, sel]                            # (18, R): one gather
-        lv0, lv1, lv2 = (rows[0], rows[1], rows[2]), (rows[3], rows[4], rows[5]), (rows[6], rows[7], rows[8])
-        ln0, ln1, ln2 = (rows[9], rows[10], rows[11]), (rows[12], rows[13], rows[14]), (rows[15], rows[16], rows[17])
+        )                                             # (K, 18)
+        # cmp[r, k] = prefix[k] <= rnd[r] — a monotone 1...10...0 mask
+        # (prefix ascends, +inf padded). The CDF pick is row index
+        # sel = #true = the FIRST FALSE position, so the one-hot is
+        # (~cmp) & cmp-shifted-right-with-leading-1 — exact 0/1 in bf16.
+        # rnd beyond the real rows lands on a zero pad row, masked by
+        # ``valid`` below (as the old clamped-gather path did).
+        cmp = (prefix[None, :] <= rnd[:, None]).astype(jnp.bfloat16)
+        prev = jnp.concatenate(
+            [jnp.ones((cmp.shape[0], 1), jnp.bfloat16), cmp[:, :-1]], axis=1
+        )
+        onehot = (1.0 - cmp) * prev
+        rows = jax.lax.dot_general(
+            onehot.astype(jnp.float32), tab,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )                                             # (R, 18)
+        p = lambda c: rows[:, c]
+        lv0, lv1, lv2 = (p(0), p(1), p(2)), (p(3), p(4), p(5)), (p(6), p(7), p(8))
+        ln0, ln1, ln2 = (p(9), p(10), p(11)), (p(12), p(13), p(14)), (p(15), p(16), p(17))
 
     if config.light_sampler == "ref":
         s = u1 + u2 + u3
