@@ -284,3 +284,46 @@ def test_fused_queue_max_iters_cap_drops_unfinished(test_scene_bvh):
     # with the cap beyond the loop's natural end the cap must be inert
     again, _ = run(10_000)
     np.testing.assert_array_equal(full, np.asarray(again))
+
+
+def test_shadow_early_kill_target_material(rng):
+    """Shadow early-kill: a wrong-material hit within the bound kills the
+    lane (mtl == -3); an unobstructed ray to the light reports the light's
+    material; bound-0 lanes park (mtl == -1). Kernel (interpret) and the
+    CPU oracle must agree on this scene (every blocked ray's hits are all
+    wrong-material, so kill order cannot diverge from closest-hit)."""
+    from tinyraytracing_tpu.models.procedural import cornell_box
+    from tinyraytracing_tpu.ops.bvh import attach_bvh
+    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
+
+    scene, _ = cornell_box(width=8, height=8)
+    scene = attach_bvh(scene, CFG)
+    light_mtl = float(np.asarray(scene.light_mtl)[0])
+    n = 128
+    under_light = np.tile([278.0, 100.0, 280.0], (n, 1)).astype(np.float32)
+    off_side = np.tile([400.0, 50.0, 400.0], (n, 1)).astype(np.float32)
+    target = np.array([278.0, 548.8, 280.0], np.float32)
+    orgs = np.concatenate([under_light, off_side])
+    dirs = target[None, :] - orgs
+    dist = np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = dirs / dist
+    o = jnp.asarray(orgs)
+    d = jnp.asarray(dirs)
+    tb = jnp.asarray(dist[:, 0])
+    tg = jnp.full((2 * n,), light_mtl, jnp.float32)
+
+    for fk in (False, True):
+        outs = fused_trace_planes(
+            scene, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            CFG, force_kernel=fk, t_bound=tb, target_mtl=tg)
+        mtl = np.asarray(outs[6])
+        # clear column: straight up to the light
+        assert (mtl[:n] == light_mtl).all(), mtl[:8]
+        # second column: each lane is the light, a kill (-3), or a miss
+        # (-1) — never a foreign positive material id
+        assert np.isin(mtl[n:], [light_mtl, -3.0, -1.0]).all(), set(mtl[n:])
+        # parked lanes: bound 0 -> no walk at all
+        outs0 = fused_trace_planes(
+            scene, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            CFG, force_kernel=fk, t_bound=jnp.zeros(2 * n), target_mtl=tg)
+        assert (np.asarray(outs0[6]) == -1.0).all()

@@ -460,9 +460,12 @@ def render_fused(
             tb = cat(jnp.where(active, jnp.float32(_INF), 0.0),
                      [jnp.where(pend_ok[l], pend_dist[l], 0.0)
                       for l in range(L)])
+            tg = cat(jnp.full((R,), -2.0, jnp.float32),
+                     [jnp.where(pend_ok[l], light_mtl_f[l], -2.0)
+                      for l in range(L)])
             t_all, pnx_a, pny_a, pnz_a, tcu_a, tcv_a, mtl_a, em_a = (
                 fused_trace_planes(scene, ox, oy, oz, dx, dy, dz, config,
-                                   t_bound=tb)
+                                   t_bound=tb, target_mtl=tg)
             )
             hit_all = mtl_a >= 0.0
             ray_count = ray_count + active.astype(jnp.float32)
@@ -472,11 +475,14 @@ def render_fused(
             # --- resolve LAST iteration's NEE with this trace's shadow legs
             for l in range(L):
                 sl = slice((1 + l) * R, (2 + l) * R)
-                sh_hit = hit_all[sl]
                 if config.shadow_test == "mtl":
-                    vis = sh_hit & (mtl_a[sl] == light_mtl_f[l])
+                    vis = mtl_a[sl] == light_mtl_f[l]  # miss -1 / killed -3
                 else:
-                    vis = ~(sh_hit & (t_all[sl] < pend_dist[l] - 1e-3))
+                    occ = (mtl_a[sl] == -3.0) | (
+                        (mtl_a[sl] >= 0.0)
+                        & (t_all[sl] < pend_dist[l] - 1e-3)
+                    )
+                    vis = ~occ
                 add = pend_ok[l] & vis
                 accum = (
                     accum[0] + jnp.where(add, pend_c[l][0] * inv_spp, 0.0),

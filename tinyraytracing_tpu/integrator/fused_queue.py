@@ -244,14 +244,20 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
             config,
             t_bound=cat([jnp.where(okl, distl, 0.0)
                          for (okl, _, distl) in pend]),
+            # early-kill on wrong-material hits (ops/pallas_trace._walk):
+            # occluded lanes stop inflating the packet union
+            target_mtl=cat([jnp.where(okl, light_mtl_f[l], -2.0)
+                            for l, (okl, _, _) in enumerate(pend)]),
         )
         for l, (okl, contrib, distl) in enumerate(pend):
             sl = slice(l * R, (l + 1) * R)
-            sh_hit = smtl[sl] >= 0.0
             if config.shadow_test == "mtl":
-                vis = sh_hit & (smtl[sl] == light_mtl_f[l])
+                vis = smtl[sl] == light_mtl_f[l]     # miss -1 / killed -3 fail
             else:
-                vis = ~(sh_hit & (st[sl] < distl - 1e-3))
+                occ = (smtl[sl] == -3.0) | (
+                    (smtl[sl] >= 0.0) & (st[sl] < distl - 1e-3)
+                )
+                vis = ~occ
             add = okl & vis
             rad = (
                 rad[0] + jnp.where(add, thr[0] * contrib[0], 0.0),

@@ -64,7 +64,7 @@ SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
 SMEM_NODE_LIMIT = 1024
 
 
-def _walk(ox, oy, oz, dx, dy, dz, tb, read_node, ps_ref, scratch, sem,
+def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, ps_ref, scratch, sem,
           *, n_nodes, L, t_min, graze, tie_eps):
     """One ray packet's tree walk; returns best (t, pn, tc, mtl, em).
 
@@ -74,6 +74,18 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, read_node, ps_ref, scratch, sem,
     best-t test below also shrinks the packet's node union). A ray that
     never beats its bound reports t == bound and mtl == -1 — callers
     detect hits via ``mtl >= 0`` (misses also keep em == 0).
+
+    ``tg`` is the per-ray TARGET MATERIAL for shadow early-kill: when
+    tg > -1.5, any accepted hit whose material differs from tg KILLS the
+    lane (bt := -1 prunes every later node/leaf; mtl := -3 reports
+    "occluded"). This is the reference's closest-hit-material visibility
+    test (pathTracing.cpp:55-58) restated: for closed or planar lights a
+    wrong-material hit in front of the light can never be superseded by
+    a closer target-material hit (that would put geometry inside the
+    light), so killing on first discovery is equivalent — and occluded
+    lanes stop inflating the packet's node union, which is where shadow
+    time goes (88% of the staircase render before this). tg == -2
+    disables the kill (closest-hit queries).
     """
     shp = ox.shape
     # axis-parallel sentinel 1e18 (not f32-INF): with the hoisted o*inv
@@ -166,6 +178,18 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, read_node, ps_ref, scratch, sem,
                     & (tm < _INF)
                 )
                 repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
+                # shadow early-kill: accepted wrong-material hit STRICTLY
+                # inside the tie band of the current bound -> dead lane
+                # (bt=-1 prunes everything). Strict: a wrong hit AT the
+                # bound may be the reference's coplanar-light tie (ceiling
+                # and light share a plane in cornell) where the emissive
+                # tie-break must still find the light.
+                mt_slot = scratch[4 + 15 // 4, (15 % 4) * SLOT + s]
+                kill = (
+                    (tg > -1.5)
+                    & (tm * (1.0 + tie_eps) < bt)
+                    & (jnp.abs(mt_slot - tg) > 0.5)
+                )
 
                 # interpolated shading attributes (replaces the integrator's
                 # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
@@ -180,13 +204,13 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, read_node, ps_ref, scratch, sem,
                 tcu = t0u * w + t1u * u + t2u * v
                 tcv = t0v * w + t1v * u + t2v * v
 
-                bt = jnp.where(repl, tm, bt)
+                bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
                 bpnx = jnp.where(repl, pnx, bpnx)
                 bpny = jnp.where(repl, pny, bpny)
                 bpnz = jnp.where(repl, pnz, bpnz)
                 btcu = jnp.where(repl, tcu, btcu)
                 btcv = jnp.where(repl, tcv, btcv)
-                bmtl = jnp.where(repl, mt, bmtl)
+                bmtl = jnp.where(kill, -3.0, jnp.where(repl, mt, bmtl))
                 bem = jnp.where(repl, em, bem)
             return bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem
 
@@ -203,7 +227,7 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, read_node, ps_ref, scratch, sem,
 
 
 def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
-                 box_ref, meta_ref, ps_ref,
+                 tg_ref, box_ref, meta_ref, ps_ref,
                  t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
                  mtl_out, em_out, scratch, sem,
                  *, n_nodes, n_tiles, L, t_min, graze, tie_eps):
@@ -217,7 +241,7 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
         r0 = ti * _ROWS
         args = [r[pl.ds(r0, _ROWS), :]
                 for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                          tb_ref)]
+                          tb_ref, tg_ref)]
         bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
             *args, read_node, ps_ref, scratch, sem,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
@@ -237,7 +261,7 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 
 def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
-                node_ref, ps_ref,
+                tg_ref, node_ref, ps_ref,
                 t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
                 mtl_out, em_out, scratch, nscratch, sem, nsem,
                 *, n_nodes, n_tiles, L, t_min, graze, tie_eps):
@@ -259,7 +283,7 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
         r0 = ti * _ROWS
         args = [r[pl.ds(r0, _ROWS), :]
                 for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                          tb_ref)]
+                          tb_ref, tg_ref)]
         bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
             *args, read_node, ps_ref, scratch, sem,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
@@ -278,7 +302,7 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
     jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
-def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb,
+def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb, tg,
                            config: RenderConfig):
     """Pure-JAX reference implementation of the fused trace: the while_loop
     BVH intersector + XLA gathers of the shading attributes. Used (a) on
@@ -300,19 +324,27 @@ def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb,
     # t-bound semantics as in _walk: hits at/beyond the bound (outside the
     # tie band that admits the light surface itself) are misses
     miss = ~hit.hit | (hit.t > tb * (1.0 + config.tie_eps))
+    # target-material early-kill emulated as a closest-hit test (equal to
+    # the kernel's in-order kill for closed/planar lights — _walk docs)
+    killed = ~miss & (tg > -1.5) & (jnp.abs(mtl - tg) > 0.5)
     zero = jnp.zeros_like(hit.t)
-    pn = (jnp.where(miss, 0.0, pn[0]), jnp.where(miss, 0.0, pn[1]),
-          jnp.where(miss, 1.0, pn[2]))
-    return (jnp.where(miss, jnp.minimum(tb, _INF), hit.t),
-            pn[0], pn[1], pn[2],
-            jnp.where(miss, 0.0, tc[0]), jnp.where(miss, 0.0, tc[1]),
-            jnp.where(miss, -1.0, mtl), jnp.where(miss, 0.0, em))
+    miss_or_kill = miss | killed
+    pn = (jnp.where(miss_or_kill, 0.0, pn[0]),
+          jnp.where(miss_or_kill, 0.0, pn[1]),
+          jnp.where(miss_or_kill, 1.0, pn[2]))
+    t_out = jnp.where(killed, -1.0,
+                      jnp.where(miss, jnp.minimum(tb, _INF), hit.t))
+    mtl_out = jnp.where(killed, -3.0, jnp.where(miss, -1.0, mtl))
+    return (t_out, pn[0], pn[1], pn[2],
+            jnp.where(miss_or_kill, 0.0, tc[0]),
+            jnp.where(miss_or_kill, 0.0, tc[1]),
+            mtl_out, jnp.where(miss_or_kill, 0.0, em))
 
 
 @functools.partial(jax.jit, static_argnames=("config", "force_kernel"))
 def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
                        config: RenderConfig, force_kernel: bool = False,
-                       t_bound=None):
+                       t_bound=None, target_mtl=None):
     """Fused closest-hit + shading-attribute trace.
 
     Planar in, planar out: six (R,) ray component planes -> a tuple of
@@ -333,15 +365,17 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     """
     if t_bound is None:
         t_bound = jnp.full_like(ox, _INF)
+    if target_mtl is None:
+        target_mtl = jnp.full_like(ox, -2.0)
     if jax.default_backend() == "cpu" and not force_kernel:
         return _fused_trace_reference(scene, ox, oy, oz, dx, dy, dz,
-                                      t_bound, config)
+                                      t_bound, target_mtl, config)
     pk = scene.bvh.packed
     R = ox.shape[0]
 
     super_rays = min(SUPER_TILES * RAY_TILE, RAY_TILE * -(-R // RAY_TILE))
     pad_r = (-R) % super_rays
-    comps = [ox, oy, oz, dx, dy, dz, t_bound]
+    comps = [ox, oy, oz, dx, dy, dz, t_bound, target_mtl]
     if pad_r:
         comps = [jnp.pad(c, (0, pad_r)) for c in comps]
     Rp = comps[0].shape[0]
@@ -399,7 +433,7 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
         kern,
         grid=(n_super,),
         interpret=jax.default_backend() == "cpu",    # tests run on CPU
-        in_specs=[ray_spec] * 7 + extra_in,
+        in_specs=[ray_spec] * 8 + extra_in,
         out_specs=[out_spec] * 8,
         out_shape=out_shape,
         scratch_shapes=scratch,
