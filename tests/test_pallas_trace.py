@@ -327,3 +327,21 @@ def test_shadow_early_kill_target_material(rng):
             scene, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
             CFG, force_kernel=fk, t_bound=jnp.zeros(2 * n), target_mtl=tg)
         assert (np.asarray(outs0[6]) == -1.0).all()
+
+
+def test_fused_trace_hbm_large_tree(rng):
+    """Round-2 verdict ask: pin the HBM-node-row encoding on a tree well
+    past the SMEM limit (1,981 nodes = 124 packed 16-node rows) — the
+    configuration that faulted staircase in round 2 — against the pure-JAX
+    oracle, in interpret mode."""
+    from tinyraytracing_tpu.models.procedural import quad_grid
+    from tinyraytracing_tpu.ops.bvh import attach_bvh
+
+    cfg = RenderConfig(intersector="bvh", leaf_size=8)
+    scene, _ = quad_grid(6000, width=16, height=16)
+    scene = attach_bvh(scene, cfg)
+    assert scene.bvh.packed.n_nodes > 1024   # really on the HBM path
+    org = jnp.asarray(rng.uniform(100, 450, (128, 3)), jnp.float32)
+    d = rng.normal(size=(128, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    _check_fused(scene, org, jnp.asarray(d, jnp.float32), cfg)
