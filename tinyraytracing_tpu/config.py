@@ -81,6 +81,12 @@ class RenderConfig:
     # occupancy (survivors park rows) but shrinks the walk union. The
     # t-bound parking makes waiting lanes nearly free in-kernel.
     queue_refill: str = "lane"     # lane | row
+    # re-sort the queue renderer's lane state by path id every N
+    # iterations (0 = never): refills insert new paths at dead-lane
+    # positions, so packets drift into incoherent path mixtures; a
+    # periodic stable sort restores tile order (consecutive path ids =
+    # neighboring pixels) at the cost of ~16 plane gathers per resort.
+    queue_resort_every: int = 0
     # differentiation: detach sampled directions / discrete decisions so
     # the backward pass is the path-replay interior-term estimator
     detach_sampling: bool = True

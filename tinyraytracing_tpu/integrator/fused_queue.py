@@ -149,6 +149,27 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
         (it, counter, active, path_id, pix, bounce, o, d, ray_type, thr,
          rad, pkd, img, ray_count) = s
 
+        # --- optional periodic resort by path id (see config.queue_resort_every)
+        if config.queue_resort_every > 0:
+            def resort(args):
+                (active, path_id, pix, bounce, o, d, ray_type, thr, rad,
+                 pkd, ray_count) = args
+                key_ = jnp.where(active, path_id, jnp.int32(2**31 - 1))
+                perm = jnp.argsort(key_, stable=True)
+                g = lambda x: x[perm]
+                g3 = lambda v: (v[0][perm], v[1][perm], v[2][perm])
+                return (g(active), g(path_id), g(pix), g(bounce), g3(o),
+                        g3(d), g(ray_type), g3(thr), g3(rad),
+                        (g(pkd[0]), g(pkd[1])), g(ray_count))
+
+            args = (active, path_id, pix, bounce, o, d, ray_type, thr,
+                    rad, pkd, ray_count)
+            args = jax.lax.cond(
+                it % config.queue_resort_every == 0, resort, lambda a: a, args
+            )
+            (active, path_id, pix, bounce, o, d, ray_type, thr, rad,
+             pkd, ray_count) = args
+
         # --- regenerate dead lanes from the global queue (tile order)
         dead = ~active
         if config.queue_refill == "row":

@@ -103,12 +103,15 @@ def trace(scene, org, d, key, config: RenderConfig, return_stats: bool = False):
         tex_val = scene.tex[tid_safe, r_ix, c_ix]
         kd_val = jnp.where(has_tex[:, None], tex_val, scene.kd[m])
 
-        # NEE direct lighting
+        # NEE direct lighting. Dead lanes are parked far outside the scene
+        # so their shadow rays fail the root AABB test instead of walking
+        # the tree (their contribution is masked below either way).
         wi = -d
         nee_uniforms = jax.random.uniform(ks_(0), (R, L, 4), dtype=jnp.float32)
+        point_sh = jnp.where(shade_mask[:, None], point, 1.0e30)
         l_dir = direct_light(
             scene, config, intersect_fn,
-            point, pn, wi, kd_val, scene.ks[m], scene.ns[m], nee_uniforms,
+            point_sh, pn, wi, kd_val, scene.ks[m], scene.ns[m], nee_uniforms,
         )
         radiance = radiance + jnp.where(
             shade_mask[:, None], throughput * l_dir, 0.0
