@@ -82,11 +82,15 @@ class RenderConfig:
     # t-bound parking makes waiting lanes nearly free in-kernel.
     queue_refill: str = "lane"     # lane | row
     # re-sort the queue renderer's lane state by path id every N
-    # iterations (0 = never): refills insert new paths at dead-lane
-    # positions, so packets drift into incoherent path mixtures; a
-    # periodic stable sort restores tile order (consecutive path ids =
-    # neighboring pixels) at the cost of ~16 plane gathers per resort.
-    queue_resort_every: int = 0
+    # iterations (0 = never, -1 = auto): refills insert new paths at
+    # dead-lane positions, so packets drift into incoherent path
+    # mixtures; a periodic stable sort restores tile order (consecutive
+    # path ids = neighboring pixels) at the cost of ~16 plane gathers
+    # per resort. Measured (v5e, 131072 lanes): staircase 1.96 -> 2.24
+    # Mrays/s and grid100K 0.23 -> 0.28 at N=2, but veach-mis REGRESSES
+    # 10.6 -> 8.8 (small tree: sort cost > union gain) — so auto picks
+    # N=2 for scenes >= 10K triangles, off below.
+    queue_resort_every: int = -1
     # differentiation: detach sampled directions / discrete decisions so
     # the backward pass is the path-replay interior-term estimator
     detach_sampling: bool = True

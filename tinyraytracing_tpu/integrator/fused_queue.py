@@ -115,6 +115,9 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
     light_mtl_f = [scene.light_mtl[l].astype(jnp.float32) for l in range(L)]
     shape = (R,)
     key_data = master_key_data(key)
+    resort_every = config.queue_resort_every
+    if resort_every < 0:   # auto: big trees only (config.py rationale)
+        resort_every = 2 if scene.num_triangles >= 10_000 else 0
 
     eye = tuple(eye[k] for k in range(3))
     horizontal = tuple(horizontal[k] for k in range(3))
@@ -150,7 +153,7 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
          rad, pkd, img, ray_count) = s
 
         # --- optional periodic resort by path id (see config.queue_resort_every)
-        if config.queue_resort_every > 0:
+        if resort_every > 0:
             def resort(args):
                 (active, path_id, pix, bounce, o, d, ray_type, thr, rad,
                  pkd, ray_count) = args
@@ -165,7 +168,7 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
             args = (active, path_id, pix, bounce, o, d, ray_type, thr,
                     rad, pkd, ray_count)
             args = jax.lax.cond(
-                it % config.queue_resort_every == 0, resort, lambda a: a, args
+                it % resort_every == 0, resort, lambda a: a, args
             )
             (active, path_id, pix, bounce, o, d, ray_type, thr, rad,
              pkd, ray_count) = args
