@@ -91,6 +91,9 @@ class RenderConfig:
     # 10.6 -> 8.8 (small tree: sort cost > union gain) — so auto picks
     # N=2 for scenes >= 10K triangles, off below.
     queue_resort_every: int = -1
+    # resort key: "path" = pure path id (tile-order origins);
+    # "path_octant" = path id blocks sub-sorted by direction octant
+    queue_resort_key: str = "path"
     # differentiation: detach sampled directions / discrete decisions so
     # the backward pass is the path-replay interior-term estimator
     detach_sampling: bool = True

@@ -157,7 +157,22 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
             def resort(args):
                 (active, path_id, pix, bounce, o, d, ray_type, thr, rad,
                  pkd, ray_count) = args
-                key_ = jnp.where(active, path_id, jnp.int32(2**31 - 1))
+                if config.queue_resort_key == "path_octant":
+                    # sub-sort 8192-path blocks (8 kernel packets) by
+                    # direction octant: octant groups then span whole
+                    # packets, making each packet homogeneous in both
+                    # origin region (block) and direction signs (octant)
+                    octant = (
+                        (d[0] < 0).astype(jnp.int32)
+                        + 2 * (d[1] < 0).astype(jnp.int32)
+                        + 4 * (d[2] < 0).astype(jnp.int32)
+                    )
+                    key_ = ((path_id >> 13) << 16) + (octant << 13) + (
+                        path_id & 8191
+                    )
+                else:
+                    key_ = path_id
+                key_ = jnp.where(active, key_, jnp.int32(2**31 - 1))
                 perm = jnp.argsort(key_, stable=True)
                 g = lambda x: x[perm]
                 g3 = lambda v: (v[0][perm], v[1][perm], v[2][perm])
