@@ -345,3 +345,15 @@ def test_fused_trace_hbm_large_tree(rng):
     d = rng.normal(size=(128, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     _check_fused(scene, org, jnp.asarray(d, jnp.float32), cfg)
+
+
+def test_fused_trace_all_smem_variant(test_scene_bvh, rng, monkeypatch):
+    """The experimental all-SMEM kernel (nodes + whole leaf payload in
+    SMEM, zero per-visit DMA — rejected as default, see SMEM_PS_FLOATS)
+    must still match the oracle."""
+    import tinyraytracing_tpu.ops.pallas_trace as ptr
+
+    monkeypatch.setattr(ptr, "SMEM_PS_FLOATS", 1_000_000)
+    scene, _ = test_scene_bvh
+    org, d = _rays(rng, 256)
+    _check_fused(scene, org, d, CFG)

@@ -63,8 +63,17 @@ SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
 # is known-safe.
 SMEM_NODE_LIMIT = 1024
 
+# leaf-payload float count below which the WHOLE packed payload lives in
+# SMEM (no per-visit DMA). MEASURED AND REJECTED as the default on v5e:
+# cornell full render dropped 71 -> 53 Mrays/s — the direct scalar loads
+# pay a dynamic-offset address computation per read (512 reads per leaf
+# visit), while the DMA path's scratch reads use constant offsets and
+# the 4 KB copy itself is cheap. Kept as an experimental variant
+# (tests force it via monkeypatch); 0 disables.
+SMEM_PS_FLOATS = 0
 
-def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, ps_ref, scratch, sem,
+
+def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
           *, n_nodes, L, t_min, graze, tie_eps):
     """One ray packet's tree walk; returns best (t, pn, tc, mtl, em).
 
@@ -135,16 +144,10 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, ps_ref, scratch, sem,
 
         def do_leaf(carry):
             bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem = carry
-            off = pl.multiple_of(jnp.maximum(leaf, 0) * 128, 128)
-            dma = pltpu.make_async_copy(
-                ps_ref.at[:, pl.ds(off, 128)], scratch, sem
-            )
-            dma.start()
-            dma.wait()
+            ga, ha = leaf_loader(leaf)
             for s in range(L):
-                # P attr a at (a//4, (a%4)*32 + s); S attr at row 4 + a//4
-                g = lambda a: scratch[a // 4, (a % 4) * SLOT + s]
-                h = lambda a: scratch[4 + a // 4, (a % 4) * SLOT + s]
+                g = lambda a: ga(a, s)
+                h = lambda a: ha(a, s)
                 ax, ay, az, bx = g(0), g(1), g(2), g(3)
                 by, bz, cx, cy = g(4), g(5), g(6), g(7)
                 cz, ou, ov, ow = g(8), g(9), g(10), g(11)
@@ -184,7 +187,7 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, ps_ref, scratch, sem,
                 # bound may be the reference's coplanar-light tie (ceiling
                 # and light share a plane in cornell) where the emissive
                 # tie-break must still find the light.
-                mt_slot = scratch[4 + 15 // 4, (15 % 4) * SLOT + s]
+                mt_slot = h(15)
                 kill = (
                     (tg > -1.5)
                     & (tm * (1.0 + tie_eps) < bt)
@@ -226,6 +229,33 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, ps_ref, scratch, sem,
     return out[1:]
 
 
+def _dma_leaf_loader(ps_ref, scratch, sem):
+    """Per-visit HBM/ANY -> SMEM DMA of the leaf's (8, 128) block."""
+    def load(leaf):
+        off = pl.multiple_of(jnp.maximum(leaf, 0) * 128, 128)
+        dma = pltpu.make_async_copy(
+            ps_ref.at[:, pl.ds(off, 128)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        # P attr a at (a//4, (a%4)*32 + s); S attr at row 4 + a//4
+        g = lambda a, s: scratch[a // 4, (a % 4) * SLOT + s]
+        h = lambda a, s: scratch[4 + a // 4, (a % 4) * SLOT + s]
+        return g, h
+    return load
+
+
+def _smem_leaf_loader(ps_flat, cols):
+    """Whole leaf payload resident in SMEM (small scenes): zero DMA —
+    slot attributes are direct scalar loads at leaf*128 offsets."""
+    def load(leaf):
+        off = jnp.maximum(leaf, 0) * 128
+        g = lambda a, s: ps_flat[(a // 4) * cols + off + (a % 4) * SLOT + s]
+        h = lambda a, s: ps_flat[(4 + a // 4) * cols + off + (a % 4) * SLOT + s]
+        return g, h
+    return load
+
+
 def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                  tg_ref, box_ref, meta_ref, ps_ref,
                  t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
@@ -243,7 +273,45 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                           tb_ref, tg_ref)]
         bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
-            *args, read_node, ps_ref, scratch, sem,
+            *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
+            n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+        )
+        sl = (pl.ds(r0, _ROWS), slice(None))
+        t_out[sl] = bt
+        pnx_out[sl] = pnx
+        pny_out[sl] = pny
+        pnz_out[sl] = pnz
+        tcu_out[sl] = tcu
+        tcv_out[sl] = tcv
+        mtl_out[sl] = mtl
+        em_out[sl] = em
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
+                     tg_ref, box_ref, meta_ref, ps_ref,
+                     t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
+                     mtl_out, em_out,
+                     *, n_nodes, n_tiles, L, t_min, graze, tie_eps, ps_cols):
+    # small scenes: node tables AND the whole leaf payload in SMEM — leaf
+    # visits are pure scalar loads, no per-visit DMA at all
+    def read_node(i):
+        b = i * 8
+        return (box_ref[b + 0], box_ref[b + 1], box_ref[b + 2],
+                box_ref[b + 3], box_ref[b + 4], box_ref[b + 5],
+                meta_ref[i * 2], meta_ref[i * 2 + 1])
+
+    loader = _smem_leaf_loader(ps_ref, ps_cols)
+
+    def tile(ti, _):
+        r0 = ti * _ROWS
+        args = [r[pl.ds(r0, _ROWS), :]
+                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tb_ref, tg_ref)]
+        bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
+            *args, read_node, loader,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
         sl = (pl.ds(r0, _ROWS), slice(None))
@@ -285,7 +353,7 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                           tb_ref, tg_ref)]
         bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
-            *args, read_node, ps_ref, scratch, sem,
+            *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
         sl = (pl.ds(r0, _ROWS), slice(None))
@@ -386,6 +454,9 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     planes = [c.reshape(-1, 128) for c in comps]
 
     nodes_in_smem = pk.n_nodes <= SMEM_NODE_LIMIT
+    # whole-leaf-payload SMEM residency for small scenes (~<=420 KB):
+    # kills the per-leaf-visit DMA entirely (veach-class payloads)
+    leaves_in_smem = nodes_in_smem and pk.PS.size <= SMEM_PS_FLOATS
     common = dict(
         n_nodes=pk.n_nodes, n_tiles=tiles_per_super, L=pk.leaf_size,
         t_min=config.t_min, graze=config.n_dot_d_min, tie_eps=config.tie_eps,
@@ -398,7 +469,19 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     )
     out_shape = [jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32)] * 8
 
-    if nodes_in_smem:
+    if leaves_in_smem:
+        kern = functools.partial(
+            _kernel_smem_all, **common, ps_cols=pk.PS.shape[1]
+        )
+        extra_in = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes, flat f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node meta, flat i32
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # PS payload, flat f32
+        ]
+        extra_args = (pk.node_box.reshape(-1), pk.node_meta.reshape(-1),
+                      pk.PS.reshape(-1))
+        scratch = []
+    elif nodes_in_smem:
         kern = functools.partial(_kernel_smem, **common)
         extra_in = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes, flat f32
