@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "by scene size); scan = fixed-depth differentiable path")
     p.add_argument("--lanes", type=int, default=262144,
                    help="wavefront width for the fused renderers")
+    p.add_argument("--leaf-size", default="auto",
+                   help="BVH leaf width: an int, or 'auto' (reference's 8 "
+                        "for small scenes, 32 for >=10K triangles — measured "
+                        "1.4x on staircase; estimator-independent)")
     p.add_argument("--intersector", default="auto", choices=["auto", "mxu", "brute", "bvh", "pallas", "bvh_pallas"])
     p.add_argument("--light-sampler", default="ref", choices=["ref", "uniform"])
     p.add_argument("--specular-weight", default="ref", choices=["ref", "ks"])
@@ -112,8 +116,17 @@ def main(argv=None) -> int:
     else:
         scene, cam = load_scene(
             rel(args.xml), rel(args.obj), rel(args.mtl), args.basedir,
-            with_bvh=with_bvh,
+            with_bvh=False,
         )
+    if with_bvh:
+        from tinyraytracing_tpu.ops.bvh import attach_bvh
+
+        if args.leaf_size == "auto":
+            leaf = 32 if scene.num_triangles >= 10_000 else config.leaf_size
+        else:
+            leaf = int(args.leaf_size)
+        config = config.replace(leaf_size=leaf)
+        scene = attach_bvh(scene, config)
     if args.width or args.height:
         cam = dataclasses.replace(
             cam, width=args.width or cam.width, height=args.height or cam.height
