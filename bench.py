@@ -80,31 +80,39 @@ def main():
     key = jax.random.PRNGKey(0)
     results = {}
 
+    # per-scene isolation: a transient tunnel/device error on one scene
+    # must not zero out the whole benchmark record
     if "cornell" in which:
-        cfg = RenderConfig(intersector="pallas", max_depth=16)
-        scene, cam = cornell_box(width=512, height=512)
-        scene = attach_bvh(scene, cfg)
-        cspp = int(os.environ.get("BENCH_SPP_CORNELL", 16))
-        rps, mean = _bench(
-            render_fused_stats_jit, scene, cam, key, cfg, cspp, lanes
-        )
-        results["cornell512"] = dict(rays_per_s=round(rps, 1), mean=round(mean, 4))
+        try:
+            cfg = RenderConfig(intersector="pallas", max_depth=16)
+            scene, cam = cornell_box(width=512, height=512)
+            scene = attach_bvh(scene, cfg)
+            cspp = int(os.environ.get("BENCH_SPP_CORNELL", 16))
+            rps, mean = _bench(
+                render_fused_stats_jit, scene, cam, key, cfg, cspp, lanes
+            )
+            results["cornell512"] = dict(rays_per_s=round(rps, 1), mean=round(mean, 4))
+        except Exception as e:                       # pragma: no cover
+            results["cornell512"] = dict(rays_per_s=0.0, error=str(e)[:120])
 
     cfg_big = RenderConfig(intersector="auto", max_depth=16, leaf_size=leaf)
     for name, tag in (("veach-mis", "veach"), ("staircase", "staircase")):
         if tag not in which and name not in which:
             continue
-        scene, cam = load_scene(
-            f"{SCENES_DIR}/{name}/{name}.xml",
-            f"{SCENES_DIR}/{name}/{name}.obj",
-            f"{SCENES_DIR}/{name}/{name}.mtl",
-            f"{SCENES_DIR}/{name}", with_bvh=True, leaf_size=leaf,
-        )
-        rps, mean = _bench(
-            render_fused_queue_chunked, scene, cam, key, cfg_big, spp,
-            lanes=qlanes, target_chunk_s=10.0,
-        )
-        results[name] = dict(rays_per_s=round(rps, 1), mean=round(mean, 4))
+        try:
+            scene, cam = load_scene(
+                f"{SCENES_DIR}/{name}/{name}.xml",
+                f"{SCENES_DIR}/{name}/{name}.obj",
+                f"{SCENES_DIR}/{name}/{name}.mtl",
+                f"{SCENES_DIR}/{name}", with_bvh=True, leaf_size=leaf,
+            )
+            rps, mean = _bench(
+                render_fused_queue_chunked, scene, cam, key, cfg_big, spp,
+                lanes=qlanes, target_chunk_s=10.0,
+            )
+            results[name] = dict(rays_per_s=round(rps, 1), mean=round(mean, 4))
+        except Exception as e:                       # pragma: no cover
+            results[name] = dict(rays_per_s=0.0, error=str(e)[:120])
 
     base = {}
     bpath = os.path.join(os.path.dirname(__file__), "baselines", "cpu_scenes.json")
@@ -112,14 +120,17 @@ def main():
         with open(bpath) as f:
             base = {k: v["rays_per_s"] for k, v in json.load(f)["scenes"].items()}
 
-    vals = [r["rays_per_s"] for r in results.values()]
+    ok = {k: r for k, r in results.items() if r.get("rays_per_s", 0) > 0}
+    if not ok:
+        ok = results                                 # all failed: report as-is
+    vals = [r["rays_per_s"] for r in ok.values()]
     geomean = 1.0
     for v in vals:
         geomean *= v
     geomean **= 1.0 / max(len(vals), 1)
 
     ratios = [
-        r["rays_per_s"] / base[k] for k, r in results.items() if k in base
+        r["rays_per_s"] / base[k] for k, r in ok.items() if k in base
     ]
     vs = 1.0
     for r in ratios:
@@ -128,8 +139,8 @@ def main():
 
     # headline value: cornell full-render rays/s (comparable to the
     # round-1/2 headline config); the real scenes + geomean ride along
-    head = results.get("cornell512") or next(iter(results.values()))
-    head_name = "cornell512" if "cornell512" in results else list(results)[0]
+    head = ok.get("cornell512") or next(iter(ok.values()))
+    head_name = "cornell512" if "cornell512" in ok else list(ok)[0]
     print(
         json.dumps(
             {
