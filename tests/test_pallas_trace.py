@@ -357,3 +357,37 @@ def test_fused_trace_all_smem_variant(test_scene_bvh, rng, monkeypatch):
     scene, _ = test_scene_bvh
     org, d = _rays(rng, 256)
     _check_fused(scene, org, d, CFG)
+
+
+def test_nee_mxu_onehot_row_select_exact(rng):
+    """The large-K NEE table path (integrator/fused._nee_geometry): the
+    bf16 one-hot built from the monotone prefix-compare, dotted at
+    HIGHEST precision, must select table rows EXACTLY like the clamped
+    count-gather — including rnd below the first prefix and beyond the
+    real rows (zero pad row, masked by validity downstream)."""
+    K = 97
+    areas = rng.uniform(0.1, 2.0, K).astype(np.float32)
+    prefix = np.cumsum(areas).astype(np.float32)
+    prefix_pad = np.concatenate([prefix, np.full(31, np.inf, np.float32)])
+    tab = np.zeros((K + 31, 18), np.float32)
+    tab[:K] = rng.normal(size=(K, 18))
+    R = 2048
+    rnd = rng.uniform(0, prefix[-1] * 1.05, R).astype(np.float32)
+    rnd[0] = 0.0
+    rnd[1] = prefix[0]
+    rnd[2] = np.nextafter(prefix[0], 0, dtype=np.float32)
+
+    sel = np.minimum((prefix_pad[None, :] <= rnd[:, None]).sum(1), K + 30)
+    want = tab[sel]
+
+    pj, rj, tj = jnp.asarray(prefix_pad), jnp.asarray(rnd), jnp.asarray(tab)
+    cmp = (pj[None, :] <= rj[:, None]).astype(jnp.bfloat16)
+    prev = jnp.concatenate(
+        [jnp.ones((R, 1), jnp.bfloat16), cmp[:, :-1]], axis=1
+    )
+    onehot = (1.0 - cmp) * prev
+    got = jax.lax.dot_general(
+        onehot.astype(jnp.float32), tj, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)

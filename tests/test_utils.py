@@ -105,3 +105,28 @@ def test_prefix_sum_lanes_exact():
     np.testing.assert_array_equal(
         np.asarray(prefix_sum_lanes(jnp.asarray(b))), np.cumsum(b)
     )
+
+
+def test_threefry_planar_fixed_vectors():
+    """Pin the planar threefry stream: any refactor that changes these
+    values silently changes every rendered image."""
+    import jax.numpy as jnp
+
+    from tinyraytracing_tpu.ops.rng import threefry2x32
+
+    k0 = jnp.asarray([0x12345678, 0, 0xFFFFFFFF], jnp.uint32)
+    k1 = jnp.asarray([0x9ABCDEF0, 0, 0xFFFFFFFF], jnp.uint32)
+    c0 = jnp.asarray([0, 1, 0xDEADBEEF], jnp.uint32)
+    c1 = jnp.asarray([0, 2, 0xCAFEBABE], jnp.uint32)
+    r0, r1 = threefry2x32(k0, k1, c0, c1)
+    got = np.stack([np.asarray(r0), np.asarray(r1)])
+    want = np.asarray(
+        [[int(r0[i]) for i in range(3)], [int(r1[i]) for i in range(3)]],
+        np.uint32,
+    )
+    # recorded once from the shipped implementation (see docstring)
+    pinned = np.asarray(_THREEFRY_PINNED, np.uint32)
+    np.testing.assert_array_equal(got, pinned)
+
+
+_THREEFRY_PINNED = [[3357365074, 550689291, 3220085037], [1690693402, 2605461915, 1334708808]]  # recorded 2026-08-21
