@@ -1,19 +1,18 @@
 """Benchmark driver — prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "scenes": {...}}
 
-Headline metric: cornell512 full-render traced-rays/s (the config every
-round has reported, so rounds stay comparable); the JSON line also carries
-per-scene numbers for the flagship renderer on the reference's real scenes
-plus their geomean (the round-2 verdict's ask — bench.py must report the
-renderer users actually get):
+Headline metric: the GEOMEAN of full-render traced-rays/s over the three
+reference scenes (round-3 verdict: the headline is the representative
+number; per-scene values, including the round-1/2 cornell headline config,
+ride along in "scenes"):
 
 - cornell 512x512 @ 16 spp (32 tris)       — fused pixel-persistent
 - veach-mis 1280x720 @ 8 spp (2,332 tris)  — queue-fed fused, chunked
 - staircase 1280x720 @ 8 spp (31,407 tris) — queue-fed fused, chunked
   (the reference's flagship scene: 6 lights, 3 textures, glass)
 
-``vs_baseline`` is the headline ratio against the measured CPU reference
-baseline; ``geomean_vs_cpu_baseline`` the geomean of per-scene ratios
+``vs_baseline`` is the geomean of per-scene ratios against the measured
+CPU reference baseline
 (baselines/cpu_scenes.json: the reference algorithm reimplemented in
 baselines/cpu_reference.cc, run on this machine's 2 cores — the reference
 itself publishes no numbers).
@@ -137,17 +136,25 @@ def main():
         vs *= r
     vs **= 1.0 / max(len(ratios), 1)
 
-    # headline value: cornell full-render rays/s (comparable to the
-    # round-1/2 headline config); the real scenes + geomean ride along
-    head = ok.get("cornell512") or next(iter(ok.values()))
-    head_name = "cornell512" if "cornell512" in ok else list(ok)[0]
+    # headline value: the 3-scene GEOMEAN (round-3 verdict: the headline
+    # must be the representative number, not the best case); per-scene
+    # results incl. cornell ride along. Scenes missing from the measured
+    # CPU baseline are a loud error, not a silent fallback ratio.
+    missing = [k for k in ok if k not in base]
+    if missing and ratios:
+        results["baseline_missing"] = missing
+    elif missing:
+        raise SystemExit(
+            f"no CPU baseline for any measured scene ({missing}); "
+            f"re-run baselines/cpu_reference.cc to fill {bpath}"
+        )
     print(
         json.dumps(
             {
-                "metric": f"full_render_rays_per_s_{head_name}",
-                "value": head["rays_per_s"],
+                "metric": "full_render_rays_per_s_geomean",
+                "value": round(geomean, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(head["rays_per_s"] / base.get(head_name, 5.5e6), 4),
+                "vs_baseline": round(vs, 4),
                 "scenes": results,
                 "geomean_rays_per_s": round(geomean, 1),
                 "geomean_vs_cpu_baseline": round(vs, 4),

@@ -76,3 +76,49 @@ def test_single_triangle_and_tiny_scenes():
     v9 = np.repeat(v, 9, axis=0) + np.arange(9)[:, None, None]
     nodes, perm = build_bvh(v9, leaf_size=8)
     assert (nodes["count"] > 0).sum() == 2  # must split: 9 > 8
+
+
+def test_widen_bvh_structure():
+    """widen_bvh must partition the binary tree's leaves exactly: every
+    leaf id appears exactly once across all wide-node children, child
+    boxes equal the binary nodes' padded boxes, and internal children
+    reference valid wide nodes forming a tree (each non-root wide node
+    referenced exactly once)."""
+    import numpy as np
+
+    from tinyraytracing_tpu.ops.bvh import build_bvh, widen_bvh
+
+    rng = np.random.default_rng(11)
+    tri = rng.uniform(-5, 5, (777, 3, 3))
+    nodes, _perm = build_bvh(tri, leaf_size=8)
+    wide, depth = widen_bvh(nodes)
+    count = nodes["count"]
+    n_leaves = int((count > 0).sum())
+
+    metas = wide[:, 6::8]
+    leaf_ids = []
+    internal_refs = []
+    for wi in range(wide.shape[0]):
+        for c in range(8):
+            m = metas[wi, c]
+            if m == -1.0:
+                continue
+            if m <= -2.0:
+                leaf_ids.append(int(-m) - 2)
+            else:
+                internal_refs.append(int(m))
+    assert sorted(leaf_ids) == list(range(n_leaves))
+    # each non-root wide node referenced exactly once, no self/back refs
+    assert sorted(internal_refs) == list(range(1, wide.shape[0]))
+    assert depth >= 1
+    # child boxes must be actual binary-node boxes (padded)
+    all_boxes = set()
+    for i in range(len(count)):
+        all_boxes.add(tuple(np.round(
+            np.concatenate([nodes["nmin"][i], nodes["nmax"][i]]).astype(np.float32), 5)))
+    for wi in range(wide.shape[0]):
+        for c in range(8):
+            if metas[wi, c] == -1.0:
+                continue
+            box = tuple(np.round(wide[wi, c * 8:c * 8 + 6], 5))
+            assert box in all_boxes

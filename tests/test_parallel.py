@@ -34,7 +34,7 @@ def test_sharded_deterministic(scene_cam):
 
 def test_mesh_shapes_statistically_consistent(scene_cam):
     scene, cam = scene_cam
-    spp = 16
+    spp = 64
     imgs = []
     for n_tile, n_spp in [(8, 1), (4, 2), (2, 4)]:
         mesh = make_mesh(n_tile=n_tile, n_spp=n_spp)
@@ -44,21 +44,20 @@ def test_mesh_shapes_statistically_consistent(scene_cam):
             )
         )
     for img in imgs[1:]:
-        assert abs(img.mean() - imgs[0].mean()) / imgs[0].mean() < 0.3
+        assert abs(img.mean() - imgs[0].mean()) / imgs[0].mean() < 0.1
 
 
 def test_sharded_matches_single_device(scene_cam):
     scene, cam = scene_cam
     from tinyraytracing_tpu.render import render
 
-    spp = 32
+    spp = 128
     mesh = make_mesh(n_tile=8, n_spp=1)
     a = np.asarray(render_sharded(scene, cam, jax.random.PRNGKey(2), CFG, mesh, spp=spp))
     b = np.asarray(render(scene, cam, jax.random.PRNGKey(2), CFG, spp))
-    # different RNG stream layouts -> compare statistically; the image mean
-    # at 16x16x32 samples still carries ~5-10% MC noise (near-light NEE
-    # spikes), so the tolerance is generous
-    assert abs(a.mean() - b.mean()) / b.mean() < 0.3
+    # different RNG stream layouts -> compare statistically at enough spp
+    # that a 10% mean gap is well outside MC noise (~2% at 16x16x128)
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.1
     assert np.isfinite(a).all() and (a >= 0).all()
 
 
@@ -158,3 +157,72 @@ def test_queue_sharded_uneven_paths(scene_cam_bvh):
     mesh = make_mesh(n_tile=8, n_spp=1)
     img, _ = render_queue_sharded(scene, cam, key, cfg, 3, mesh, lanes=256)
     np.testing.assert_allclose(np.asarray(img), single, rtol=2e-5, atol=2e-5)
+
+def test_queue_sharded_chunked_matches_one_shot():
+    """The production chunked driver, sharded, with preempt -> snapshot ->
+    resume, must reproduce the one-shot sharded render exactly.
+
+    Runs in a subprocess: a multi-partition while_loop program executed
+    earlier in this pytest process (the tests above) deadlocks the chunk
+    step's dispatch on the virtual-CPU backend (jax-0.9 runtime quirk);
+    chunked-first in a fresh process is the supported order there.
+    """
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from tinyraytracing_tpu.config import RenderConfig
+        from tinyraytracing_tpu.models.procedural import quad_grid
+        from tinyraytracing_tpu.ops.bvh import attach_bvh
+        from tinyraytracing_tpu.parallel.mesh import (
+            make_mesh, render_queue_sharded, render_queue_sharded_chunked)
+        config = RenderConfig(intersector="brute", max_depth=2,
+                              ray_chunk=1024, spp=2, tri_chunk=64)
+        scene, cam = quad_grid(1024, width=16, height=16)
+        scene = attach_bvh(scene, config)
+        mesh = make_mesh(n_tile=8, n_spp=1, devices=jax.devices()[:8])
+        key = jax.random.PRNGKey(3)
+        ck = "/tmp/test_queue_chunk_ck.npz"
+        a, _ = render_queue_sharded_chunked(
+            scene, cam, key, config, spp=32, mesh=mesh, lanes=256)
+        part = []
+        render_queue_sharded_chunked(
+            scene, cam, key, config, spp=32, mesh=mesh, lanes=256,
+            checkpoint_path=ck, stop_after_chunks=1,
+            progress=lambda **kw: part.append(kw["it"]))
+        import os as _os
+        assert _os.path.exists(ck)
+        half = []
+        b, _ = render_queue_sharded_chunked(
+            scene, cam, key, config, spp=32, mesh=mesh, lanes=256,
+            checkpoint_path=ck, resume=True,
+            progress=lambda **kw: half.append(kw["it"]))
+        assert half[0] > part[-1], "resume restarted from scratch"
+        c, _ = render_queue_sharded(
+            scene, cam, key, config, spp=32, mesh=mesh, lanes=256)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=2e-5, atol=2e-6)
+        print("CHUNKED-SHARDED-OK")
+    """)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if "--xla_force_host_platform_device_count=" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0 and "CHUNKED-SHARDED-OK" in proc.stdout, (
+        proc.stdout + "\n" + proc.stderr
+    )

@@ -120,13 +120,19 @@ def test_threefry_planar_fixed_vectors():
     c1 = jnp.asarray([0, 2, 0xCAFEBABE], jnp.uint32)
     r0, r1 = threefry2x32(k0, k1, c0, c1)
     got = np.stack([np.asarray(r0), np.asarray(r1)])
-    want = np.asarray(
-        [[int(r0[i]) for i in range(3)], [int(r1[i]) for i in range(3)]],
-        np.uint32,
-    )
     # recorded once from the shipped implementation (see docstring)
     pinned = np.asarray(_THREEFRY_PINNED, np.uint32)
     np.testing.assert_array_equal(got, pinned)
+    # ... and since round 4 the schedule is the STANDARD Threefry-2x32-20,
+    # so the stream must be bit-identical to jax's own implementation
+    from jax._src.prng import threefry_2x32
+
+    for i in range(3):
+        ref = threefry_2x32(
+            jnp.asarray([int(k0[i]), int(k1[i])], jnp.uint32),
+            jnp.asarray([int(c0[i]), int(c1[i])], jnp.uint32),
+        )
+        assert int(ref[0]) == int(r0[i]) and int(ref[1]) == int(r1[i])
 
 
-_THREEFRY_PINNED = [[3357365074, 550689291, 3220085037], [1690693402, 2605461915, 1334708808]]  # recorded 2026-08-21
+_THREEFRY_PINNED = [[3978822521, 1390163619, 2952086823], [2696639427, 3131650755, 4024725739]]  # recorded 2026-08-21 (standard 20-round schedule)

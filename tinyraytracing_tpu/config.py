@@ -94,6 +94,17 @@ class RenderConfig:
     # resort key: "path" = pure path id (tile-order origins);
     # "path_octant" = path id blocks sub-sorted by direction octant
     queue_resort_key: str = "path"
+    # BVH walk shape for the fused trace kernel. "wide": 8-wide collapsed
+    # nodes with a scalar SMEM stack — one visit tests 8 child boxes and
+    # leaf visits lose their separate box test (ops/bvh.widen_bvh).
+    # "binary": the round-3 skip-link walk. "auto" (default) picks wide
+    # exactly when the binary walk would spill its node table to HBM
+    # records (> SMEM_NODE_LIMIT nodes): measured on v5e random rays,
+    # wide wins big trees (staircase 2.93 -> 4.79, grid100K 0.20 -> 0.37
+    # Mrays/s) and loses small SMEM trees (veach-mis 5.17 -> 3.83 — the
+    # fixed 8-arity wastes ~45% of its box tests on empty slots there
+    # while SMEM-resident binary visits are already overhead-free).
+    bvh_walk: str = "auto"         # auto | wide | binary
     # differentiation: detach sampled directions / discrete decisions so
     # the backward pass is the path-replay interior-term estimator
     detach_sampling: bool = True

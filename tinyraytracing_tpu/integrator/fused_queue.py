@@ -90,11 +90,14 @@ from tinyraytracing_tpu.ops.scan import prefix_sum_lanes
 _INF = jnp.float32(3.0e38)
 
 
-def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
+def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
+                 max_iters=None):
     """Build (R, max_iters, init_state, cond, body) for the queue loop.
 
     Shared by the one-shot renderer (tests, CPU, sharding wrappers) and
-    the chunked driver so both run the exact same iteration body.
+    the chunked driver so both run the exact same iteration body. An
+    explicit ``max_iters`` REPLACES the auto-computed cap (a caller
+    raising it for unlucky long-RR renders must not be silently clamped).
     """
     W, H = cam.width, cam.height
     n_pix = W * H
@@ -103,9 +106,10 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
         n_paths = total_all
     R = min(lanes, n_paths)
     R = -(-R // 128) * 128
-    max_iters = int(
-        n_paths / R * (1.0 / (1.0 - config.p_rr)) * 3
-    ) + config.max_depth + 9
+    if max_iters is None:
+        max_iters = int(
+            n_paths / R * (1.0 / (1.0 - config.p_rr)) * 3
+        ) + config.max_depth + 9
 
     order_np = pixel_tile_order(W, H)[0]
     order = jnp.asarray(order_np)
@@ -161,14 +165,24 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths):
                     # sub-sort 8192-path blocks (8 kernel packets) by
                     # direction octant: octant groups then span whole
                     # packets, making each packet homogeneous in both
-                    # origin region (block) and direction signs (octant)
+                    # origin region (block) and direction signs (octant).
+                    # Path ids are rebased to the active window's minimum
+                    # before keying: live ids span at most ~max_depth*R,
+                    # so the shifted key always fits int32 (a raw path_id
+                    # >= 2^28 — e.g. 4096x4096 @ 16 spp — would overflow
+                    # and scramble the sort on exactly the huge renders
+                    # the resort targets)
                     octant = (
                         (d[0] < 0).astype(jnp.int32)
                         + 2 * (d[1] < 0).astype(jnp.int32)
                         + 4 * (d[2] < 0).astype(jnp.int32)
                     )
-                    key_ = ((path_id >> 13) << 16) + (octant << 13) + (
-                        path_id & 8191
+                    base = jnp.min(
+                        jnp.where(active, path_id, jnp.int32(2**31 - 1))
+                    )
+                    rel = jnp.maximum(path_id - base, 0)
+                    key_ = ((rel >> 13) << 16) + (octant << 13) + (
+                        rel & 8191
                     )
                 else:
                     key_ = path_id
@@ -395,14 +409,11 @@ def render_fused_queue(
     docstring). This entry is used by tests, CPU runs, and shard_map
     wrappers over small per-device slices.
     """
-    _, auto_max, init_state, cond, body = _queue_setup(
-        scene, cam, key, config, spp, lanes, path_lo, n_paths
+    _, _, init_state, cond, body = _queue_setup(
+        scene, cam, key, config, spp, lanes, path_lo, n_paths,
+        max_iters=max_iters,
     )
-    if max_iters is not None and max_iters != auto_max:
-        capped = lambda s: cond(s) & (s[0] < max_iters)
-    else:
-        capped = cond
-    state = jax.lax.while_loop(capped, body, init_state())
+    state = jax.lax.while_loop(cond, body, init_state())
     img, ray_count = state[-2], state[-1]
     return img, jnp.sum(ray_count)
 
@@ -452,20 +463,35 @@ def render_fused_queue_chunked(
 
     With ``checkpoint_path`` the full lane state is snapshotted every
     ``checkpoint_every_s`` and on completion removed; ``resume=True``
-    restarts from the snapshot if present (key/spp/lanes must match).
+    restarts from the snapshot if present. The snapshot meta binds the
+    PRNG key, the full RenderConfig, scene identity, and the state-layout
+    version/treedef — any mismatch rejects the snapshot (fresh start)
+    rather than resuming a different stream.
     """
     from tinyraytracing_tpu.utils import checkpoint as ckpt
 
     R, max_iters, _, _, _ = _queue_setup(
         scene, cam, key, config, spp, lanes, path_lo, n_paths
     )
+    state = _queue_init(scene, cam, key, config, spp, lanes, n_paths)
+    treedef = jax.tree_util.tree_structure(state)
+    # the meta dict binds the snapshot to EVERYTHING that determines the
+    # stream: PRNG key, full render config, scene identity (triangle count
+    # + vertex checksum), state-layout version + treedef signature. A
+    # resume with any mismatch (different --seed, quirk flags, a different
+    # same-resolution scene, or a layout change between versions) is
+    # rejected instead of silently mixing streams.
     meta = dict(spp=spp, lanes=lanes, path_lo=path_lo,
                 n_paths=n_paths if n_paths is not None else -1,
-                W=cam.width, H=cam.height)
-    state = _queue_init(scene, cam, key, config, spp, lanes, n_paths)
+                W=cam.width, H=cam.height,
+                key=np.asarray(master_key_data(key)),
+                config=repr(config),
+                scene_tris=scene.num_triangles,
+                scene_vsum=float(jnp.sum(scene.v0) + jnp.sum(scene.v2)),
+                state_version=ckpt.QUEUE_STATE_VERSION,
+                treedef=str(treedef))
     if resume and checkpoint_path:
         leaves = ckpt.load_queue_state(checkpoint_path, meta)
-        treedef = jax.tree_util.tree_structure(state)
         if leaves is not None and len(leaves) == treedef.num_leaves:
             state = jax.tree_util.tree_unflatten(
                 treedef, [jnp.asarray(x) for x in leaves]

@@ -21,6 +21,13 @@ for a given key but not bitwise-equal to the scan renderer).
 
 NOTE: built on lax.while_loop, so this path is for FORWARD rendering only
 (not reverse-differentiable); gradients use the fixed-depth scan.
+
+DISPOSITION: superseded as a production scheduler by the queue-fed fused
+renderer (integrator/fused_queue.py — same global-queue idea, fused trace
+kernel, ~10x faster). Retained deliberately as a statistical cross-check
+ORACLE: it shares no kernel code with the fused paths, so agreement
+within MC bounds (tests/test_integrator.py, benchmarks/renderers_ab.py)
+is independent evidence the fast path computes the same estimator.
 """
 
 from __future__ import annotations

@@ -77,6 +77,13 @@ class PackedLeaves:
     n_nodes: int = _static()
     n_leaves: int = _static()
     leaf_size: int = _static()
+    # --- wide-node table (ops/bvh.widen_bvh; round-4 walk) ---
+    # one 128-lane f32 row per 8-wide node; lane c*8+k = child c's
+    # [x0 y0 z0 x1 y1 z1 meta pad]; meta >= 0 wide child index,
+    # <= -2 -(leaf_id+2), == -1 empty
+    WN: jax.Array | None = None
+    n_wide: int = dataclasses.field(default=0, metadata=dict(static=True))
+    wide_depth: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

@@ -202,6 +202,97 @@ def attach_bvh(scene, config: RenderConfig):
     )
 
 
+def widen_bvh(nodes, arity: int = 8):
+    """Collapse the binary skip-link tree into ``arity``-wide nodes.
+
+    The packet walk's cost is visits x (node fetch + slab test + cursor
+    bookkeeping); on big trees the per-packet node UNION saturates and the
+    walk is bound by visit count (BASELINE.md round-3 findings). A wide
+    node tests ``arity`` child boxes per visit, so interior visits drop
+    ~(arity/2 - 1)x and every leaf visit loses its separate box test
+    (the parent already performed it) — same leaf set, same leaf blocks,
+    estimator-identical results.
+
+    Collapse rule: starting from a binary internal node's two children,
+    repeatedly expand the child with the LARGEST subtree until ``arity``
+    children are reached (binary leaves stay; reference split semantics
+    bvh.cpp:16-144 are untouched — this is a post-pass re-grouping).
+    Children keep their binary node's padded AABB, ordered by binary
+    preorder (so the stack walk visits the same front-to-back order the
+    skip-link walk did).
+
+    Returns (wide (n_wide, 128) float32, depth):
+      lane c*8+k of a row = child c's [x0 y0 z0 x1 y1 z1 meta pad]
+      meta >= 0: wide-node index of an internal child;
+      meta <= -2: -(leaf_id+2), a leaf block id into PackedLeaves;
+      meta == -1: empty slot (box is +inf/-inf, can never hit).
+    """
+    count = np.asarray(nodes["count"])
+    skip = np.asarray(nodes["skip"])
+    nmin = np.asarray(nodes["nmin"], np.float32)
+    nmax = np.asarray(nodes["nmax"], np.float32)
+    N = len(count)
+    leaf_mask = count > 0
+    leaf_id = np.full(N, -1, np.int64)
+    leaf_id[np.nonzero(leaf_mask)[0]] = np.arange(int(leaf_mask.sum()))
+    sub_size = skip - np.arange(N)           # subtree node count
+
+    rows: list = []          # list of per-wide-node child lists
+    meta_patch: list = []    # (wide_idx, child_slot, binary_node) to patch
+    wide_of: dict = {}       # binary internal node -> wide index
+    depth_of: dict = {}
+
+    if N == 1 or leaf_mask[0]:
+        # degenerate: root is a leaf — one wide node with one leaf child
+        rows.append([(0, -(int(leaf_id[0]) + 2))])
+        depth = 1
+    else:
+        stack = [(0, 1)]     # (binary internal node, depth)
+        depth = 1
+        while stack:
+            b, d = stack.pop()
+            depth = max(depth, d)
+            kids = [b + 1, int(skip[b + 1])]
+            while len(kids) < arity:
+                # expand the internal child with the largest subtree
+                best = -1
+                best_sz = 0
+                for i, c in enumerate(kids):
+                    if not leaf_mask[c] and sub_size[c] > best_sz:
+                        best, best_sz = i, int(sub_size[c])
+                if best < 0:
+                    break
+                c = kids.pop(best)
+                kids.extend([c + 1, int(skip[c + 1])])
+            kids.sort()      # binary preorder == front-to-back walk order
+            wi = len(rows)
+            wide_of[b] = wi
+            row = []
+            for c in kids:
+                if leaf_mask[c]:
+                    row.append((c, -(int(leaf_id[c]) + 2)))
+                else:
+                    meta_patch.append((wi, len(row), c))
+                    row.append((c, None))
+                    stack.append((c, d + 1))
+            rows.append(row)
+        for wi, slot, c in meta_patch:
+            b_node, _ = rows[wi][slot]
+            rows[wi][slot] = (b_node, wide_of[c])
+
+    n_wide = len(rows)
+    wide = np.zeros((n_wide, 128), np.float32)
+    wide[:, 6::8] = -1.0    # empty slots (kernel gates pushes on meta != -1,
+    #                         so the zero box contents are never acted on)
+    for wi, row in enumerate(rows):
+        for c_slot, (b_node, meta) in enumerate(row):
+            o = c_slot * 8
+            wide[wi, o:o + 3] = nmin[b_node]
+            wide[wi, o + 3:o + 6] = nmax[b_node]
+            wide[wi, o + 6] = np.float32(meta)
+    return wide, int(depth)
+
+
 def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size,
                     n0=None, n1=None, n2=None, t0=None, t1=None, t2=None,
                     mtl=None):
@@ -309,6 +400,8 @@ def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size,
     node_box[:, 7] = leaf_id.astype(np.float32)
     node_meta = np.stack([skip.astype(np.int32), leaf_id], axis=1)
 
+    wide, wide_depth = widen_bvh(nodes)
+
     return PackedLeaves(
         P=jnp.asarray(P_t),
         tid=jnp.asarray(np.where(valid, slot_tri, 0).astype(np.int32)),
@@ -316,4 +409,6 @@ def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size,
         node_meta=jnp.asarray(node_meta),
         PS=jnp.asarray(PS),
         n_nodes=int(N), n_leaves=int(n_blk), leaf_size=int(leaf_size),
+        WN=jnp.asarray(wide), n_wide=int(wide.shape[0]),
+        wide_depth=int(wide_depth),
     )

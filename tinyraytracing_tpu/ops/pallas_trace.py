@@ -18,19 +18,34 @@ integrator that consumes this kernel (integrator/fused.py) then runs with
 ZERO per-triangle gathers — remaining table lookups (materials, light
 triangles) chain over tiny tables as fused selects (ops/lookup.py).
 
-Memory plan (both validated by microbenchmark on v5e — serialized
-2 KB HBM->SMEM DMAs with a data-dependent walk measured ~20-50 ns/visit):
+TWO WALKS (config.bvh_walk):
+
+- "wide" (round 4, default): 8-wide collapsed nodes (ops/bvh.widen_bvh)
+  walked with a scalar SMEM STACK shared by the whole packet. One interior
+  visit DMAs one 128-f32 row and slab-tests all 8 child boxes; union-hit
+  children are pushed (branch-free conditional-bump stores). Leaf pops go
+  straight to the slot loop — their box was already tested at the parent.
+  On union-saturated big trees this cuts visits ~(1 interior per 8
+  children + leaves) vs (every node) and the serialized per-visit node
+  DMAs ~7x — the round-3 attribution's last 2x-class lever.
+- "binary" (round 3): preorder skip-link cursor walk, one node per visit.
+  Kept as the A/B oracle and fallback.
+
+Both walks visit the SAME leaf set modulo best-t staleness (a wide walk
+may slot-test a leaf a tighter bound would have pruned; every extra test
+fails the per-slot ``tm < bt`` update), so results are bitwise-identical.
+
+Memory plan (validated by microbenchmark on v5e — serialized 2 KB
+HBM->SMEM DMAs with a data-dependent walk measured ~20-50 ns/visit):
 
 - leaf payload PS lives in ANY (compiler: VMEM when small, HBM when big)
   and each leaf visit DMAs its (8, 128) block into SMEM scratch — this
   lifts round-1's ~190K-triangle VMEM residency cap (BASELINE.md).
-- node tables: SMEM flat arrays by default (fast scalar loads); for trees
-  beyond the ~10K-node SMEM budget the ``nodes_in_smem=False`` variant
-  keeps the (N, 8) f32 node records (box + skip/leaf encoded as exact f32
-  in cols 6/7) in ANY/HBM and DMAs one record per node visit.
+- node tables: SMEM flat arrays for small trees (fast scalar loads);
+  beyond the SMEM budget the HBM-row variants DMA one row per visit.
 
-Traversal semantics identical to ops/pallas_bvh.py (skip-link walk, union
-descend, epsilon-banded emissive tie-break per RayTracingOnCPU/bvh.cpp:219,
+Traversal semantics identical to ops/pallas_bvh.py (union descend,
+epsilon-banded emissive tie-break per RayTracingOnCPU/bvh.cpp:219,
 t_min 5e-4 per bvh.cpp:189, grazing cull 1e-5 per bvh.cpp:185);
 cross-checked against the other intersectors in tests/test_pallas_trace.py.
 """
@@ -52,6 +67,7 @@ RAY_TILE = 1024
 _ROWS = RAY_TILE // 128
 SLOT = 32          # triangle slots per leaf block (PackedLeaves layout)
 SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
+N_OUT = 9          # t, pn xyz, tc uv, mtl, em, slot
 
 # node count beyond which the node tables move from SMEM to HBM records.
 # Measured on v5e (262K random rays): the HBM-record path is as fast as or
@@ -62,6 +78,9 @@ SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
 # records runs at 110.7 Mrays/s. Keep SMEM only for small trees where it
 # is known-safe.
 SMEM_NODE_LIMIT = 1024
+# same limit for the wide walk, in wide-node rows (128 f32 each): 1024
+# rows = 512 KB would exceed SMEM; keep the known-safe budget of ~40 KB
+SMEM_WIDE_LIMIT = 80
 
 # leaf-payload float count below which the WHOLE packed payload lives in
 # SMEM (no per-visit DMA). MEASURED AND REJECTED as the default on v5e:
@@ -73,9 +92,140 @@ SMEM_NODE_LIMIT = 1024
 SMEM_PS_FLOATS = 0
 
 
+def _ray_consts(ox, oy, oz, dx, dy, dz):
+    """Hoisted per-packet slab-test constants (see _walk docstring)."""
+    # axis-parallel sentinel 1e18 (not f32-INF): with the hoisted o*inv
+    # form, an INF sentinel would give b*inv - o*inv = inf - inf = NaN
+    # for d==0 rays; 1e18 keeps every product finite (scene coords ~1e3)
+    # while (b - o)*1e18 still acts as +/-inf in the min/max slab logic
+    big = jnp.float32(1e18)
+    tiny = jnp.float32(1e-18)
+    invx = jnp.where(jnp.abs(dx) < tiny, big, 1.0) / jnp.where(jnp.abs(dx) < tiny, 1.0, dx)
+    invy = jnp.where(jnp.abs(dy) < tiny, big, 1.0) / jnp.where(jnp.abs(dy) < tiny, 1.0, dy)
+    invz = jnp.where(jnp.abs(dz) < tiny, big, 1.0) / jnp.where(jnp.abs(dz) < tiny, 1.0, dz)
+    # hoisted o*inv: the slab test becomes 6 FMAs per box instead of
+    # 6 subs + 6 muls (the walk is VPU-bound on these — see BASELINE.md)
+    return invx, invy, invz, ox * invx, oy * invy, oz * invz
+
+
+def _slab(bx0, by0, bz0, bx1, by1, bz1, invx, invy, invz, oix, oiy, oiz,
+          bt, tie_eps):
+    """Slab test of one (scalar) box against the packet; returns the
+    per-lane hit mask pruned by the current per-lane best t."""
+    t_ax = bx0 * invx - oix
+    t_bx = bx1 * invx - oix
+    t_ay = by0 * invy - oiy
+    t_by = by1 * invy - oiy
+    t_az = bz0 * invz - oiz
+    t_bz = bz1 * invz - oiz
+    t0 = jnp.maximum(
+        jnp.maximum(jnp.minimum(t_ax, t_bx), jnp.minimum(t_ay, t_by)),
+        jnp.minimum(t_az, t_bz),
+    )
+    t1 = jnp.minimum(
+        jnp.minimum(jnp.maximum(t_ax, t_bx), jnp.maximum(t_ay, t_by)),
+        jnp.maximum(t_az, t_bz),
+    )
+    dist = jnp.where(t0 > 0.0, t0, t1)
+    return (t1 >= t0) & (dist > 0.0) & (
+        jnp.maximum(t0, 0.0) <= bt * (1.0 + tie_eps)
+    )
+
+
+def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps):
+    """Best-update the carry over one leaf block's L triangle slots.
+
+    ``carry`` = (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot);
+    ``rays`` = (ox, oy, oz, dx, dy, dz, tg). Shared by the binary and wide
+    walks — the estimator-defining inner loop (Woop-plane test, tie-banded
+    emissive tie-break per bvh.cpp:219, shadow early-kill)."""
+    bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot = carry
+    ox, oy, oz, dx, dy, dz, tg = rays
+    ga, ha = leaf_loader(leaf)
+    leaf_f = (leaf * SLOT).astype(jnp.float32)
+    for s in range(L):
+        g = lambda a: ga(a, s)
+        h = lambda a: ha(a, s)
+        ax, ay, az, bx = g(0), g(1), g(2), g(3)
+        by, bz, cx, cy = g(4), g(5), g(6), g(7)
+        cz, ou, ov, ow = g(8), g(9), g(10), g(11)
+        gx, gy, gz, em = g(12), g(13), g(14), g(15)
+
+        ldw = dx * cx + dy * cy + dz * cz
+        low = ox * cx + oy * cy + oz * cz + ow
+        inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(
+            ldw == 0.0, 1.0, ldw
+        )
+        t = -low * inv
+        u = (ox * ax + oy * ay + oz * az + ou) + t * (
+            dx * ax + dy * ay + dz * az
+        )
+        v = (ox * bx + oy * by + oz * bz + ov) + t * (
+            dx * bx + dy * by + dz * bz
+        )
+        ndd = dx * gx + dy * gy + dz * gz
+        ok = (
+            (jnp.abs(ndd) >= graze)
+            & (ldw != 0.0)
+            & (t >= t_min)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+        )
+        tm = jnp.where(ok, t, _INF)
+        near = (
+            (tm <= bt * (1.0 + tie_eps))
+            & (bt <= tm * (1.0 + tie_eps))
+            & (tm < _INF)
+        )
+        repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
+        # shadow early-kill: accepted wrong-material hit STRICTLY
+        # inside the tie band of the current bound -> dead lane
+        # (bt=-1 prunes everything). Strict: a wrong hit AT the
+        # bound may be the reference's coplanar-light tie (ceiling
+        # and light share a plane in cornell) where the emissive
+        # tie-break must still find the light.
+        mt_slot = h(15)
+        kill = (
+            (tg > -1.5)
+            & (tm * (1.0 + tie_eps) < bt)
+            & (jnp.abs(mt_slot - tg) > 0.5)
+        )
+
+        # interpolated shading attributes (replaces the integrator's
+        # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
+        w = 1.0 - u - v
+        n0x, n0y, n0z, n1x = h(0), h(1), h(2), h(3)
+        n1y, n1z, n2x, n2y = h(4), h(5), h(6), h(7)
+        n2z, t0u, t0v, t1u = h(8), h(9), h(10), h(11)
+        t1v, t2u, t2v, mt = h(12), h(13), h(14), h(15)
+        pnx = n0x * w + n1x * u + n2x * v
+        pny = n0y * w + n1y * u + n2y * v
+        pnz = n0z * w + n1z * u + n2z * v
+        tcu = t0u * w + t1u * u + t2u * v
+        tcv = t0v * w + t1v * u + t2v * v
+
+        bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
+        bpnx = jnp.where(repl, pnx, bpnx)
+        bpny = jnp.where(repl, pny, bpny)
+        bpnz = jnp.where(repl, pnz, bpnz)
+        btcu = jnp.where(repl, tcu, btcu)
+        btcv = jnp.where(repl, tcv, btcv)
+        bmtl = jnp.where(kill, -3.0, jnp.where(repl, mt, bmtl))
+        bem = jnp.where(repl, em, bem)
+        bslot = jnp.where(repl, leaf_f + jnp.float32(s), bslot)
+    return bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot
+
+
+def _init_carry(shp, tb):
+    zero = jnp.zeros(shp, jnp.float32)
+    return (tb, zero, zero, zero + 1.0, zero, zero, zero - 1.0, zero,
+            zero - 1.0)
+
+
 def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
           *, n_nodes, L, t_min, graze, tie_eps):
-    """One ray packet's tree walk; returns best (t, pn, tc, mtl, em).
+    """BINARY skip-link packet walk; returns the best-hit carry.
 
     ``tb`` is the per-ray INITIAL best-t (t-bound): INF for closest-hit
     queries; the light distance for shadow queries, which prunes every
@@ -97,134 +247,92 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
     disables the kill (closest-hit queries).
     """
     shp = ox.shape
-    # axis-parallel sentinel 1e18 (not f32-INF): with the hoisted o*inv
-    # form below, an INF sentinel would give b*inv - o*inv = inf - inf =
-    # NaN for d==0 rays; 1e18 keeps every product finite (scene coords
-    # ~1e3, so b*inv <= ~1e21) while (b - o)*1e18 still acts as +/-inf
-    # in the min/max slab logic
-    big = jnp.float32(1e18)
-    # |d| < 1e-18 (not just == 0) so 1/d can never reach INF; the slab
-    # min/max below makes the sentinel's sign irrelevant
-    tiny = jnp.float32(1e-18)
-    invx = jnp.where(jnp.abs(dx) < tiny, big, 1.0) / jnp.where(jnp.abs(dx) < tiny, 1.0, dx)
-    invy = jnp.where(jnp.abs(dy) < tiny, big, 1.0) / jnp.where(jnp.abs(dy) < tiny, 1.0, dy)
-    invz = jnp.where(jnp.abs(dz) < tiny, big, 1.0) / jnp.where(jnp.abs(dz) < tiny, 1.0, dz)
-    # hoisted o*inv: the slab test becomes 6 FMAs per visit instead of
-    # 6 subs + 6 muls (the walk is VPU-bound on these — see BASELINE.md)
-    oix = ox * invx
-    oiy = oy * invy
-    oiz = oz * invz
+    invx, invy, invz, oix, oiy, oiz = _ray_consts(ox, oy, oz, dx, dy, dz)
+    rays = (ox, oy, oz, dx, dy, dz, tg)
 
     def cond(s):
         return s[0] < n_nodes
 
     def body(s):
-        (i, bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem) = s
+        i = s[0]
+        carry = s[1:]
+        bt = carry[0]
         bx0, by0, bz0, bx1, by1, bz1, skip, leaf = read_node(i)
-        t_ax = bx0 * invx - oix
-        t_bx = bx1 * invx - oix
-        t_ay = by0 * invy - oiy
-        t_by = by1 * invy - oiy
-        t_az = bz0 * invz - oiz
-        t_bz = bz1 * invz - oiz
-        t0 = jnp.maximum(
-            jnp.maximum(jnp.minimum(t_ax, t_bx), jnp.minimum(t_ay, t_by)),
-            jnp.minimum(t_az, t_bz),
-        )
-        t1 = jnp.minimum(
-            jnp.minimum(jnp.maximum(t_ax, t_bx), jnp.maximum(t_ay, t_by)),
-            jnp.maximum(t_az, t_bz),
-        )
-        dist = jnp.where(t0 > 0.0, t0, t1)
-        hit_i = (t1 >= t0) & (dist > 0.0) & (
-            jnp.maximum(t0, 0.0) <= bt * (1.0 + tie_eps)
-        )
+        hit_i = _slab(bx0, by0, bz0, bx1, by1, bz1,
+                      invx, invy, invz, oix, oiy, oiz, bt, tie_eps)
         anyhit = jnp.any(hit_i)
         is_leaf = leaf >= 0
 
-        def do_leaf(carry):
-            bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem = carry
-            ga, ha = leaf_loader(leaf)
-            for s in range(L):
-                g = lambda a: ga(a, s)
-                h = lambda a: ha(a, s)
-                ax, ay, az, bx = g(0), g(1), g(2), g(3)
-                by, bz, cx, cy = g(4), g(5), g(6), g(7)
-                cz, ou, ov, ow = g(8), g(9), g(10), g(11)
-                gx, gy, gz, em = g(12), g(13), g(14), g(15)
-
-                ldw = dx * cx + dy * cy + dz * cz
-                low = ox * cx + oy * cy + oz * cz + ow
-                inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(
-                    ldw == 0.0, 1.0, ldw
-                )
-                t = -low * inv
-                u = (ox * ax + oy * ay + oz * az + ou) + t * (
-                    dx * ax + dy * ay + dz * az
-                )
-                v = (ox * bx + oy * by + oz * bz + ov) + t * (
-                    dx * bx + dy * by + dz * bz
-                )
-                ndd = dx * gx + dy * gy + dz * gz
-                ok = (
-                    (jnp.abs(ndd) >= graze)
-                    & (ldw != 0.0)
-                    & (t >= t_min)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                )
-                tm = jnp.where(ok, t, _INF)
-                near = (
-                    (tm <= bt * (1.0 + tie_eps))
-                    & (bt <= tm * (1.0 + tie_eps))
-                    & (tm < _INF)
-                )
-                repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
-                # shadow early-kill: accepted wrong-material hit STRICTLY
-                # inside the tie band of the current bound -> dead lane
-                # (bt=-1 prunes everything). Strict: a wrong hit AT the
-                # bound may be the reference's coplanar-light tie (ceiling
-                # and light share a plane in cornell) where the emissive
-                # tie-break must still find the light.
-                mt_slot = h(15)
-                kill = (
-                    (tg > -1.5)
-                    & (tm * (1.0 + tie_eps) < bt)
-                    & (jnp.abs(mt_slot - tg) > 0.5)
-                )
-
-                # interpolated shading attributes (replaces the integrator's
-                # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
-                w = 1.0 - u - v
-                n0x, n0y, n0z, n1x = h(0), h(1), h(2), h(3)
-                n1y, n1z, n2x, n2y = h(4), h(5), h(6), h(7)
-                n2z, t0u, t0v, t1u = h(8), h(9), h(10), h(11)
-                t1v, t2u, t2v, mt = h(12), h(13), h(14), h(15)
-                pnx = n0x * w + n1x * u + n2x * v
-                pny = n0y * w + n1y * u + n2y * v
-                pnz = n0z * w + n1z * u + n2z * v
-                tcu = t0u * w + t1u * u + t2u * v
-                tcv = t0v * w + t1v * u + t2v * v
-
-                bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
-                bpnx = jnp.where(repl, pnx, bpnx)
-                bpny = jnp.where(repl, pny, bpny)
-                bpnz = jnp.where(repl, pnz, bpnz)
-                btcu = jnp.where(repl, tcu, btcu)
-                btcv = jnp.where(repl, tcv, btcv)
-                bmtl = jnp.where(kill, -3.0, jnp.where(repl, mt, bmtl))
-                bem = jnp.where(repl, em, bem)
-            return bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem
-
-        carry = (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem)
-        carry = jax.lax.cond(anyhit & is_leaf, do_leaf, lambda c: c, carry)
+        carry = jax.lax.cond(
+            anyhit & is_leaf,
+            lambda c: _leaf_slots(leaf, c, rays, leaf_loader, L=L,
+                                  t_min=t_min, graze=graze, tie_eps=tie_eps),
+            lambda c: c,
+            carry,
+        )
         nxt = jnp.where(anyhit & ~is_leaf, i + 1, skip)
         return (nxt,) + carry
 
-    zero = jnp.zeros(shp, jnp.float32)
-    init = (jnp.int32(0), tb, zero, zero, zero + 1.0,
-            zero, zero, zero - 1.0, zero)
+    init = (jnp.int32(0),) + _init_carry(shp, tb)
+    out = jax.lax.while_loop(cond, body, init)
+    return out[1:]
+
+
+def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
+               stack, *, L, t_min, graze, tie_eps):
+    """8-WIDE stack packet walk; returns the best-hit carry.
+
+    ``wide_child(i)`` -> callable ``g(c, k)`` returning scalar attr k of
+    child c of wide node i (k: x0 y0 z0 x1 y1 z1 meta). ``stack`` is an
+    SMEM int32 scratch shared by the packet — traversal state is SCALAR
+    (one union walk per packet), so a per-packet stack costs nothing
+    per lane. Pushes are branch-free: write the candidate, bump the
+    pointer only when the packet union hit the child (a stale write above
+    the top is simply overwritten). Children are pushed in reverse
+    preorder so pops preserve the binary walk's front-to-back order.
+    t-bound / tie-break / early-kill semantics are _walk's (shared
+    _slab/_leaf_slots)."""
+    shp = ox.shape
+    invx, invy, invz, oix, oiy, oiz = _ray_consts(ox, oy, oz, dx, dy, dz)
+    rays = (ox, oy, oz, dx, dy, dz, tg)
+
+    stack[0] = jnp.int32(0)      # root wide node (meta >= 0 == interior)
+
+    def cond(s):
+        return s[0] > 0
+
+    def body(s):
+        sp = s[0]
+        carry = s[1:]
+        m = stack[sp - 1]
+        sp = sp - 1
+        is_leaf = m < 0
+
+        def leaf_case(op):
+            sp, carry = op
+            leaf = -m - 2
+            return sp, _leaf_slots(leaf, carry, rays, leaf_loader, L=L,
+                                   t_min=t_min, graze=graze, tie_eps=tie_eps)
+
+        def interior_case(op):
+            sp, carry = op
+            bt = carry[0]
+            g = wide_child(m)
+            for c in range(7, -1, -1):       # reverse preorder push
+                meta = g(c, 6)
+                hit_c = _slab(g(c, 0), g(c, 1), g(c, 2),
+                              g(c, 3), g(c, 4), g(c, 5),
+                              invx, invy, invz, oix, oiy, oiz, bt, tie_eps)
+                keep = jnp.any(hit_c) & (meta != -1.0)
+                stack[sp] = meta.astype(jnp.int32)
+                sp = sp + keep.astype(jnp.int32)
+            return sp, carry
+
+        sp, carry = jax.lax.cond(is_leaf, leaf_case, interior_case,
+                                 (sp, carry))
+        return (sp,) + carry
+
+    init = (jnp.int32(1),) + _init_carry(shp, tb)
     out = jax.lax.while_loop(cond, body, init)
     return out[1:]
 
@@ -256,11 +364,21 @@ def _smem_leaf_loader(ps_flat, cols):
     return load
 
 
+def _write_out(outs, r0, carry):
+    sl = (pl.ds(r0, _ROWS), slice(None))
+    for ref, val in zip(outs, carry):
+        ref[sl] = val
+
+
+def _tile_args(refs, r0):
+    return [r[pl.ds(r0, _ROWS), :] for r in refs]
+
+
 def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                  tg_ref, box_ref, meta_ref, ps_ref,
-                 t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
-                 mtl_out, em_out, scratch, sem,
-                 *, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+                 *rest, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+    outs, (scratch, sem) = rest[:N_OUT], rest[N_OUT:]
+
     def read_node(i):
         b = i * 8
         return (box_ref[b + 0], box_ref[b + 1], box_ref[b + 2],
@@ -269,22 +387,15 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
     def tile(ti, _):
         r0 = ti * _ROWS
-        args = [r[pl.ds(r0, _ROWS), :]
-                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                          tb_ref, tg_ref)]
-        bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
+        args = _tile_args(
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
+            r0,
+        )
+        carry = _walk(
             *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
-        sl = (pl.ds(r0, _ROWS), slice(None))
-        t_out[sl] = bt
-        pnx_out[sl] = pnx
-        pny_out[sl] = pny
-        pnz_out[sl] = pnz
-        tcu_out[sl] = tcu
-        tcv_out[sl] = tcv
-        mtl_out[sl] = mtl
-        em_out[sl] = em
+        _write_out(outs, r0, carry)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -292,9 +403,8 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                      tg_ref, box_ref, meta_ref, ps_ref,
-                     t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
-                     mtl_out, em_out,
-                     *, n_nodes, n_tiles, L, t_min, graze, tie_eps, ps_cols):
+                     *outs, n_nodes, n_tiles, L, t_min, graze, tie_eps,
+                     ps_cols):
     # small scenes: node tables AND the whole leaf payload in SMEM — leaf
     # visits are pure scalar loads, no per-visit DMA at all
     def read_node(i):
@@ -307,22 +417,15 @@ def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
     def tile(ti, _):
         r0 = ti * _ROWS
-        args = [r[pl.ds(r0, _ROWS), :]
-                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                          tb_ref, tg_ref)]
-        bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
+        args = _tile_args(
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
+            r0,
+        )
+        carry = _walk(
             *args, read_node, loader,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
-        sl = (pl.ds(r0, _ROWS), slice(None))
-        t_out[sl] = bt
-        pnx_out[sl] = pnx
-        pny_out[sl] = pny
-        pnz_out[sl] = pnz
-        tcu_out[sl] = tcu
-        tcv_out[sl] = tcv
-        mtl_out[sl] = mtl
-        em_out[sl] = em
+        _write_out(outs, r0, carry)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -330,9 +433,9 @@ def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 tg_ref, node_ref, ps_ref,
-                t_out, pnx_out, pny_out, pnz_out, tcu_out, tcv_out,
-                mtl_out, em_out, scratch, nscratch, sem, nsem,
-                *, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+                *rest, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+    outs, (scratch, nscratch, sem, nsem) = rest[:N_OUT], rest[N_OUT:]
+
     # node_ref is (ceil(N/16), 128): 16 nodes of 8 f32 per 128-lane row
     # (HBM slices must be 128-lane aligned, so single-record DMAs are out);
     # a node visit DMAs its whole row — a free 15-node neighborhood cache
@@ -349,22 +452,70 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
     def tile(ti, _):
         r0 = ti * _ROWS
-        args = [r[pl.ds(r0, _ROWS), :]
-                for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                          tb_ref, tg_ref)]
-        bt, pnx, pny, pnz, tcu, tcv, mtl, em = _walk(
+        args = _tile_args(
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
+            r0,
+        )
+        carry = _walk(
             *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
-        sl = (pl.ds(r0, _ROWS), slice(None))
-        t_out[sl] = bt
-        pnx_out[sl] = pnx
-        pny_out[sl] = pny
-        pnz_out[sl] = pnz
-        tcu_out[sl] = tcu
-        tcv_out[sl] = tcv
-        mtl_out[sl] = mtl
-        em_out[sl] = em
+        _write_out(outs, r0, carry)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      tb_ref, tg_ref, wn_ref, ps_ref,
+                      *rest, n_tiles, L, t_min, graze, tie_eps):
+    # wn_ref: flat SMEM f32, wide node i child c attr k at i*128 + c*8 + k
+    outs, (scratch, stack, sem) = rest[:N_OUT], rest[N_OUT:]
+
+    def wide_child(i):
+        base = jnp.maximum(i, 0) * 128
+        return lambda c, k: wn_ref[base + c * 8 + k]
+
+    def tile(ti, _):
+        r0 = ti * _ROWS
+        args = _tile_args(
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
+            r0,
+        )
+        carry = _walk_wide(
+            *args, wide_child, _dma_leaf_loader(ps_ref, scratch, sem),
+            stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+        )
+        _write_out(outs, r0, carry)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+def _kernel_wide_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     tb_ref, tg_ref, wn_ref, ps_ref,
+                     *rest, n_tiles, L, t_min, graze, tie_eps):
+    # wn_ref: (n_wide, 128) in ANY/HBM; one row DMA per interior visit
+    outs, (scratch, wscratch, stack, sem, wsem) = rest[:N_OUT], rest[N_OUT:]
+
+    def wide_child(i):
+        dma = pltpu.make_async_copy(wn_ref.at[jnp.maximum(i, 0)], wscratch,
+                                    wsem)
+        dma.start()
+        dma.wait()
+        return lambda c, k: wscratch[c * 8 + k]
+
+    def tile(ti, _):
+        r0 = ti * _ROWS
+        args = _tile_args(
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
+            r0,
+        )
+        carry = _walk_wide(
+            *args, wide_child, _dma_leaf_loader(ps_ref, scratch, sem),
+            stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+        )
+        _write_out(outs, r0, carry)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -375,7 +526,11 @@ def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb, tg,
     """Pure-JAX reference implementation of the fused trace: the while_loop
     BVH intersector + XLA gathers of the shading attributes. Used (a) on
     CPU, where per-lane gathers are cheap and kernel interpret mode is
-    minutes-per-call, and (b) as the oracle in tests/test_pallas_trace.py."""
+    minutes-per-call, and (b) as the oracle in tests/test_pallas_trace.py.
+
+    The 9th output (best SLOT) is reported as -1 here: the reference path
+    tracks triangle ids directly, so ``fused_trace_planes(return_tri=True)``
+    uses hit.idx instead of a slot->tid mapping on this path."""
     from tinyraytracing_tpu.ops.intersect import intersect
 
     org = jnp.stack([ox, oy, oz], axis=-1)
@@ -393,8 +548,17 @@ def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb, tg,
     # tie band that admits the light surface itself) are misses
     miss = ~hit.hit | (hit.t > tb * (1.0 + config.tie_eps))
     # target-material early-kill emulated as a closest-hit test (equal to
-    # the kernel's in-order kill for closed/planar lights — _walk docs)
-    killed = ~miss & (tg > -1.5) & (jnp.abs(mtl - tg) > 0.5)
+    # the kernel's in-order kill for closed/planar lights — _walk docs).
+    # Matching the kernel, hits INSIDE the tie band of the bound are
+    # excluded from the kill (the kernel only kills strictly inside the
+    # band; a wrong-material tie-band hit stays a miss there, so it must
+    # here too — shadow_test="tmin" distinguishes -1 from -3)
+    wrong = ~miss & (tg > -1.5) & (jnp.abs(mtl - tg) > 0.5)
+    killed = wrong & (hit.t * (1.0 + config.tie_eps) < tb)
+    # a wrong-material NON-emissive hit inside the band is neither killed
+    # nor recorded by the kernel (repl needs emissive for near hits) — a
+    # plain miss; an emissive one IS recorded (near & em), so keep it
+    miss = miss | (wrong & ~killed & ~(em > 0.5))
     zero = jnp.zeros_like(hit.t)
     miss_or_kill = miss | killed
     pn = (jnp.where(miss_or_kill, 0.0, pn[0]),
@@ -403,16 +567,20 @@ def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb, tg,
     t_out = jnp.where(killed, -1.0,
                       jnp.where(miss, jnp.minimum(tb, _INF), hit.t))
     mtl_out = jnp.where(killed, -3.0, jnp.where(miss, -1.0, mtl))
+    tri_out = jnp.where(miss_or_kill, -1.0, idx.astype(jnp.float32))
     return (t_out, pn[0], pn[1], pn[2],
             jnp.where(miss_or_kill, 0.0, tc[0]),
             jnp.where(miss_or_kill, 0.0, tc[1]),
-            mtl_out, jnp.where(miss_or_kill, 0.0, em))
+            mtl_out, jnp.where(miss_or_kill, 0.0, em), tri_out)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "force_kernel"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "force_kernel", "return_tri")
+)
 def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
                        config: RenderConfig, force_kernel: bool = False,
-                       t_bound=None, target_mtl=None):
+                       t_bound=None, target_mtl=None,
+                       return_tri: bool = False):
     """Fused closest-hit + shading-attribute trace.
 
     Planar in, planar out: six (R,) ray component planes -> a tuple of
@@ -427,6 +595,15 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     from its first node visit (big win on deep trees; see _walk). A hit is
     ``mtl >= 0`` (t < INF remains equivalent for unbounded queries).
 
+    ``return_tri``: append a 9th plane — the best-hit TRIANGLE index as
+    f32 (-1 for miss/killed), exact to 2^24. This is what the path-replay
+    backward (diff/) needs to re-derive analytic derivatives for the hit
+    triangle; it costs one (R,) gather through PackedLeaves.tid, so it is
+    off for the pure forward renderers.
+
+    Walk selection: config.bvh_walk ("wide" 8-wide stack walk, "binary"
+    skip-link cursor walk — see module docstring).
+
     On CPU backends dispatches to the pure-JAX reference path unless
     ``force_kernel`` (tests) — Pallas interpret mode re-interprets the walk
     per call, minutes per invocation.
@@ -436,8 +613,9 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     if target_mtl is None:
         target_mtl = jnp.full_like(ox, -2.0)
     if jax.default_backend() == "cpu" and not force_kernel:
-        return _fused_trace_reference(scene, ox, oy, oz, dx, dy, dz,
-                                      t_bound, target_mtl, config)
+        out = _fused_trace_reference(scene, ox, oy, oz, dx, dy, dz,
+                                     t_bound, target_mtl, config)
+        return out if return_tri else out[:8]
     pk = scene.bvh.packed
     R = ox.shape[0]
 
@@ -453,12 +631,13 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
 
     planes = [c.reshape(-1, 128) for c in comps]
 
-    nodes_in_smem = pk.n_nodes <= SMEM_NODE_LIMIT
-    # whole-leaf-payload SMEM residency for small scenes (~<=420 KB):
-    # kills the per-leaf-visit DMA entirely (veach-class payloads)
-    leaves_in_smem = nodes_in_smem and pk.PS.size <= SMEM_PS_FLOATS
+    have_wide = getattr(pk, "WN", None) is not None and pk.n_wide > 0
+    use_wide = have_wide and (
+        config.bvh_walk == "wide"
+        or (config.bvh_walk == "auto" and pk.n_nodes > SMEM_NODE_LIMIT)
+    )
     common = dict(
-        n_nodes=pk.n_nodes, n_tiles=tiles_per_super, L=pk.leaf_size,
+        n_tiles=tiles_per_super, L=pk.leaf_size,
         t_min=config.t_min, graze=config.n_dot_d_min, tie_eps=config.tie_eps,
     )
     ray_spec = pl.BlockSpec(
@@ -467,60 +646,108 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     out_spec = pl.BlockSpec(
         (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = [jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32)] * 8
+    out_shape = [jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32)] * N_OUT
 
-    if leaves_in_smem:
-        kern = functools.partial(
-            _kernel_smem_all, **common, ps_cols=pk.PS.shape[1]
-        )
-        extra_in = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes, flat f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # node meta, flat i32
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # PS payload, flat f32
-        ]
-        extra_args = (pk.node_box.reshape(-1), pk.node_meta.reshape(-1),
-                      pk.PS.reshape(-1))
-        scratch = []
-    elif nodes_in_smem:
-        kern = functools.partial(_kernel_smem, **common)
-        extra_in = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes, flat f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # node meta, flat i32
-            pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
-        ]
-        extra_args = (pk.node_box.reshape(-1), pk.node_meta.reshape(-1), pk.PS)
-        scratch = [
-            pltpu.SMEM((8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ]
+    if use_wide:
+        # stack bound: every interior visit pops 1 and pushes <= 8, so the
+        # high-water mark is depth*(arity-1)+1; +8 slack for the dangling
+        # conditional-bump writes
+        stack_size = max(64, pk.wide_depth * 7 + 16)
+        stack_scratch = pltpu.SMEM((stack_size,), jnp.int32)
+        if pk.n_wide <= SMEM_WIDE_LIMIT:
+            kern = functools.partial(_kernel_wide_smem, **common)
+            extra_in = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # wide nodes, flat
+                pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
+            ]
+            extra_args = (pk.WN.reshape(-1), pk.PS)
+            scratch = [
+                pltpu.SMEM((8, 128), jnp.float32),
+                stack_scratch,
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            kern = functools.partial(_kernel_wide_hbm, **common)
+            extra_in = [
+                pl.BlockSpec(memory_space=pl.ANY),       # wide node rows
+                pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
+            ]
+            extra_args = (pk.WN, pk.PS)
+            scratch = [
+                pltpu.SMEM((8, 128), jnp.float32),
+                pltpu.SMEM((128,), jnp.float32),
+                stack_scratch,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]
     else:
-        kern = functools.partial(_kernel_hbm, **common)
-        extra_in = [
-            pl.BlockSpec(memory_space=pl.ANY),       # node rows (N/16, 128)
-            pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
-        ]
-        n_rows = -(-pk.n_nodes // 16)
-        node_rows = jnp.pad(
-            pk.node_box.reshape(-1),
-            (0, n_rows * 128 - pk.n_nodes * 8),
-        ).reshape(n_rows, 128)
-        extra_args = (node_rows, pk.PS)
-        scratch = [
-            pltpu.SMEM((8, 128), jnp.float32),
-            pltpu.SMEM((128,), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ]
+        nodes_in_smem = pk.n_nodes <= SMEM_NODE_LIMIT
+        # whole-leaf-payload SMEM residency for small scenes (~<=420 KB):
+        # kills the per-leaf-visit DMA entirely (veach-class payloads)
+        leaves_in_smem = nodes_in_smem and pk.PS.size <= SMEM_PS_FLOATS
+        common["n_nodes"] = pk.n_nodes
+        if leaves_in_smem:
+            kern = functools.partial(
+                _kernel_smem_all, **common, ps_cols=pk.PS.shape[1]
+            )
+            extra_in = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes, flat f32
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # node meta, flat i32
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # PS payload, flat f32
+            ]
+            extra_args = (pk.node_box.reshape(-1), pk.node_meta.reshape(-1),
+                          pk.PS.reshape(-1))
+            scratch = []
+        elif nodes_in_smem:
+            kern = functools.partial(_kernel_smem, **common)
+            extra_in = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes, flat f32
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # node meta, flat i32
+                pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
+            ]
+            extra_args = (pk.node_box.reshape(-1), pk.node_meta.reshape(-1),
+                          pk.PS)
+            scratch = [
+                pltpu.SMEM((8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            kern = functools.partial(_kernel_hbm, **common)
+            extra_in = [
+                pl.BlockSpec(memory_space=pl.ANY),       # node rows (N/16, 128)
+                pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
+            ]
+            n_rows = -(-pk.n_nodes // 16)
+            node_rows = jnp.pad(
+                pk.node_box.reshape(-1),
+                (0, n_rows * 128 - pk.n_nodes * 8),
+            ).reshape(n_rows, 128)
+            extra_args = (node_rows, pk.PS)
+            scratch = [
+                pltpu.SMEM((8, 128), jnp.float32),
+                pltpu.SMEM((128,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]
 
     outs = pl.pallas_call(
         kern,
         grid=(n_super,),
         interpret=jax.default_backend() == "cpu",    # tests run on CPU
         in_specs=[ray_spec] * 8 + extra_in,
-        out_specs=[out_spec] * 8,
+        out_specs=[out_spec] * N_OUT,
         out_shape=out_shape,
         scratch_shapes=scratch,
     )(*planes, *extra_args)
 
     flat = lambda x: x.reshape(-1)[:R]
-    return tuple(flat(o) for o in outs)
+    outs = tuple(flat(o) for o in outs)
+    if not return_tri:
+        return outs[:8]
+    slot = outs[8]
+    tri = jnp.where(
+        slot >= 0.0,
+        pk.tid[jnp.clip(slot, 0, None).astype(jnp.int32)].astype(jnp.float32),
+        -1.0,
+    )
+    return outs[:8] + (tri,)

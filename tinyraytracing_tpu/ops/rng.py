@@ -11,10 +11,12 @@ function of (seed, path_id, bounce, draw index), so images remain
 BITWISE independent of how paths are packed into lanes, epochs, or
 device shards (the property tests/test_pallas_trace.py pins).
 
-Threefry-2x32 (Salmon et al., SC'11 — public algorithm, 13 rounds as in
-jax's own PRNG) over planes; this is an independent implementation, not
-a copy of jax's (jax applies it via lax.bitcast tricks; here it is plain
-jnp uint32 arithmetic so XLA fuses it into the surrounding bounce math).
+Threefry-2x32-20 (Salmon et al., SC'11 — public algorithm, the standard
+20-round schedule, same as jax's own PRNG) over planes; this is an
+independent implementation, not a copy of jax's (jax applies it via
+lax.bitcast tricks; here it is plain jnp uint32 arithmetic so XLA fuses
+it into the surrounding bounce math). Bit-for-bit equality with jax's
+threefry2x32 is pinned in tests/test_utils.py.
 
 Stream layout:
 - path key  = TF(master_key, (path_id, PATH_TAG))
@@ -37,28 +39,25 @@ def _rotl(x, r):
 
 
 def threefry2x32(k0, k1, c0, c1):
-    """Threefry-2x32, 13 rounds (jax's round count). All args uint32
-    arrays (broadcastable); returns a pair of uint32 arrays."""
+    """Threefry-2x32-20 (the standard 20-round schedule, as used by jax's
+    PRNG — 5 groups of 4 rounds with a key injection after each group).
+    All args uint32 arrays (broadcastable); returns a pair of uint32
+    arrays. Cross-validated bit-for-bit against jax's threefry2x32 in
+    tests/test_utils.py."""
     k0 = jnp.asarray(k0, jnp.uint32)
     k1 = jnp.asarray(k1, jnp.uint32)
     x0 = jnp.asarray(c0, jnp.uint32) + k0
     x1 = jnp.asarray(c1, jnp.uint32) + k1
     ks2 = k0 ^ k1 ^ _PARITY
     sched = ((k1, ks2), (ks2, k0), (k0, k1), (k1, ks2), (ks2, k0))
-    rounds = (_ROT[0], _ROT[1], _ROT[0], _ROT[1])
-    for block in range(4):
+    rounds = (_ROT[0], _ROT[1], _ROT[0], _ROT[1], _ROT[0])
+    for block in range(5):
         for r in rounds[block]:
             x0 = x0 + x1
             x1 = _rotl(x1, r) ^ x0
         a, b = sched[block]
         x0 = x0 + a
         x1 = x1 + b + jnp.uint32(block + 1)
-    # 13th round (first round of the fifth group), then final injection
-    x0 = x0 + x1
-    x1 = _rotl(x1, _ROT[0][0]) ^ x0
-    a, b = sched[4]
-    x0 = x0 + a
-    x1 = x1 + b + jnp.uint32(5)
     return x0, x1
 
 

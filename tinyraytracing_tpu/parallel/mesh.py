@@ -237,3 +237,228 @@ def render_queue_sharded(
     if mesh is None:
         mesh = make_mesh()
     return _render_queue_sharded_jit(scene, cam, key, config, spp, mesh, lanes)
+
+
+# ---------------------------------------------------------------------------
+# sharded CHUNKED queue driver (the path real hardware runs)
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "spp", "lanes", "n_paths_dev", "mesh"),
+)
+def _queue_init_sharded(scene, cam, key, config, spp, lanes, n_paths_dev,
+                        mesh):
+    """Initial queue state with a leading device axis, built INSIDE a
+    shard_map program so its leaves have the exact buffer layout the chunk
+    step produces (feeding host-constructed arrays into the compiled step
+    across repeated render invocations trips dispatch-cache buffer
+    mismatches on jax 0.9)."""
+    from jax import shard_map
+
+    from tinyraytracing_tpu.integrator.fused_queue import _queue_setup
+
+    def body(scene, cam, key):
+        _, _, init_state, _, _ = _queue_setup(
+            scene, cam, key, config, spp, lanes, 0, n_paths_dev
+        )
+        return jax.tree.map(lambda x: jnp.asarray(x)[None], init_state())
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("tile",))
+    example = jax.eval_shape(
+        lambda: body(scene, cam, key)
+    )
+    spec = jax.tree.map(
+        lambda x: P(*(("tile",) + (None,) * (x.ndim - 1))), example
+    )
+    fn = shard_map(
+        body, mesh=flat_mesh, in_specs=(P(), P(), P()), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(scene, cam, key)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "spp", "lanes", "n_paths_dev", "mesh"),
+)
+def _queue_chunk_sharded_step(scene, cam, key, state, stop, config, spp,
+                              lanes, n_paths_dev, mesh):
+    """One host chunk of the sharded queue loop: every device advances its
+    own queue slice by up to ``stop - it`` iterations. ``state`` is the
+    single-device queue state with a leading device axis on every leaf,
+    sharded P("tile")."""
+    from jax import shard_map
+
+    from tinyraytracing_tpu.integrator.fused_queue import _queue_setup
+
+    def body(scene, cam, key, state, stop):
+        i = jax.lax.axis_index("tile")
+        st = jax.tree.map(lambda x: x[0], state)
+        _, _, _, cond, bod = _queue_setup(
+            scene, cam, key, config, spp, lanes, i * n_paths_dev, n_paths_dev
+        )
+        st = jax.lax.while_loop(lambda s: cond(s) & (s[0] < stop), bod, st)
+        return jax.tree.map(lambda x: x[None], st)
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("tile",))
+    # full-rank per-leaf specs (leading device axis sharded, rest
+    # replicated) — a bare P("tile") on rank-2/3 leaves trips resharding
+    # when the previous chunk's committed output flows back in
+    state_spec = jax.tree.map(
+        lambda x: P(*(("tile",) + (None,) * (x.ndim - 1))), state
+    )
+    fn = shard_map(
+        body,
+        mesh=flat_mesh,
+        in_specs=(P(), P(), P(), state_spec, P()),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return fn(scene, cam, key, state, stop)
+
+
+def render_queue_sharded_chunked(
+    scene: Scene,
+    cam: Camera,
+    key,
+    config: RenderConfig,
+    spp: int,
+    mesh: Mesh | None = None,
+    lanes: int = 262144,
+    target_chunk_s: float = 8.0,
+    checkpoint_path: str | None = None,
+    checkpoint_every_s: float = 120.0,
+    resume: bool = False,
+    progress=None,
+    stop_after_chunks: int | None = None,
+):
+    """Host-chunked MULTI-DEVICE queue render — the same chunking real
+    hardware needs (no device program outlives the ~60 s TPU watchdog)
+    applied to the path-queue-sharded renderer. Math identical to
+    ``render_queue_sharded`` (chunk boundaries just pause each device's
+    while_loop); the full per-device lane state is checkpointable between
+    chunks exactly like the single-device chunked driver.
+
+    ``stop_after_chunks``: graceful preemption — stop after that many
+    host chunks, snapshotting to ``checkpoint_path`` (kept, not cleared)
+    so a ``resume=True`` call continues the render.
+
+    Returns ((H, W, 3) image, traced rays f32).
+    """
+    import time
+
+    from tinyraytracing_tpu.integrator.fused_queue import _queue_setup
+    from tinyraytracing_tpu.ops.rng import master_key_data
+    from tinyraytracing_tpu.utils import checkpoint as ckpt
+
+    if mesh is None:
+        mesh = make_mesh()
+    W, H = cam.width, cam.height
+    total = W * H * spp
+    D = mesh.devices.size
+    per = -(-total // D)
+    lanes_dev = min(lanes, per)
+
+    _, max_iters, init_state, _, _ = _queue_setup(
+        scene, cam, key, config, spp, lanes_dev, 0, per
+    )
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("tile",))
+
+    def _place(tree):
+        # commit every leaf to its device-axis sharding up front so chunk
+        # calls never hit input-resharding edge cases
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x,
+                jax.NamedSharding(
+                    flat_mesh, P(*(("tile",) + (None,) * (x.ndim - 1)))
+                ),
+            ),
+            tree,
+        )
+
+    def _replicate(tree):
+        # fully-committed replicated placement for the non-sharded args —
+        # mixing committed and uncommitted inputs across repeated calls
+        # trips a resharding misalignment in the jit fast path (observed
+        # on jax 0.9 CPU: a scalar matched against a P('tile', None)
+        # expectation on the second render invocation)
+        rep = jax.NamedSharding(flat_mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+    scene = _replicate(scene)
+    cam = _replicate(cam)
+    key = _replicate(key)
+
+    state = _queue_init_sharded(
+        scene, cam, key, config=config, spp=spp, lanes=lanes_dev,
+        n_paths_dev=per, mesh=mesh,
+    )
+    treedef = jax.tree_util.tree_structure(state)
+    meta = dict(spp=spp, lanes=lanes_dev, n_devices=D, n_paths=per,
+                W=W, H=H, key=np.asarray(master_key_data(key)),
+                config=repr(config), scene_tris=scene.num_triangles,
+                scene_vsum=float(jnp.sum(scene.v0) + jnp.sum(scene.v2)),
+                state_version=ckpt.QUEUE_STATE_VERSION,
+                treedef=str(treedef))
+    if resume and checkpoint_path:
+        leaves = ckpt.load_queue_state(checkpoint_path, meta)
+        if leaves is not None and len(leaves) == treedef.num_leaves:
+            state = _place(jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in leaves]
+            ))
+
+    # every chunk advances all still-running devices to the same ``stop``;
+    # a device whose queue slice drains exits its while_loop below the
+    # stop and is marked done (its `it` freezes) — the loop ends when all
+    # devices are done, not when the first one is
+    its = np.asarray(state[0])
+    running = np.ones(D, bool)
+    chunk = 4
+    chunks_done = 0
+    preempted = False
+    last_ckpt = time.perf_counter()
+    while running.any() and int(its[running].min()) < max_iters:
+        if stop_after_chunks is not None and chunks_done >= stop_after_chunks:
+            preempted = True
+            if checkpoint_path:
+                ckpt.save_queue_state(checkpoint_path, state, meta)
+            break
+        stop = int(its[running].min()) + chunk
+        t0 = time.perf_counter()
+        step_args = (
+            scene, cam, key, state,
+            jax.device_put(jnp.int32(stop), jax.NamedSharding(flat_mesh, P())),
+        )
+        kw = dict(config=config, spp=spp, lanes=lanes_dev, n_paths_dev=per,
+                  mesh=mesh)
+        try:
+            state = _queue_chunk_sharded_step(*step_args, **kw)
+        except (ValueError, IndexError) as e:  # pragma: no cover - jax quirk
+            # jax 0.9's dispatch fast path can misalign cached input-buffer
+            # expectations across repeated render invocations interleaved
+            # with other shard_map programs ("Execution supplied N buffers
+            # but compiled program expected M"). Recompiling from a clean
+            # cache is always correct — do that once and retry.
+            if "buffers" not in str(e) and "index out of range" not in str(e):
+                raise
+            _queue_chunk_sharded_step.clear_cache()
+            state = _queue_chunk_sharded_step(*step_args, **kw)
+        its = np.asarray(state[0])
+        dt = time.perf_counter() - t0
+        running = its >= stop
+        if progress is not None:
+            progress(it=int(its.max()), counter=int(np.asarray(state[1]).min()),
+                     seconds=dt)
+        per_it = dt / max(chunk, 1)
+        chunk = max(1, min(chunk * 4, int(target_chunk_s / max(per_it, 1e-4))))
+        chunks_done += 1
+        if checkpoint_path and time.perf_counter() - last_ckpt > checkpoint_every_s:
+            ckpt.save_queue_state(checkpoint_path, state, meta)
+            last_ckpt = time.perf_counter()
+    if checkpoint_path and not preempted:
+        ckpt.clear_queue_state(checkpoint_path)
+    img = jnp.sum(state[-2], axis=0).reshape(H, W, 3)
+    rays = jnp.sum(state[-1])
+    return img, rays

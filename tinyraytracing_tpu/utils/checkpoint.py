@@ -24,6 +24,13 @@ from tinyraytracing_tpu.config import RenderConfig
 from tinyraytracing_tpu.render import render_pass
 
 
+# bump whenever the queue loop's state tuple layout changes — stale
+# snapshots are then rejected by the meta check instead of silently
+# rebinding leaves to wrong slots (the treedef signature in the meta
+# catches same-version shape changes too)
+QUEUE_STATE_VERSION = 2
+
+
 def _atomic_savez(path: str, **arrays) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
