@@ -104,7 +104,9 @@ def test_widen_bvh_structure():
             if m == -1.0:
                 continue
             if m <= -2.0:
-                leaf_ids.append(int(-m) - 2)
+                dec = int(-m) - 2
+                leaf_ids.append(dec >> 6)
+                assert 1 <= (dec & 63) <= 8   # slot count (leaf_size 8 here)
             else:
                 internal_refs.append(int(m))
     assert sorted(leaf_ids) == list(range(n_leaves))

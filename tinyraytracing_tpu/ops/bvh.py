@@ -224,8 +224,11 @@ def widen_bvh(nodes, arity: int = 8):
     Returns (wide (n_wide, 128) float32, depth):
       lane c*8+k of a row = child c's [x0 y0 z0 x1 y1 z1 meta pad]
       meta >= 0: wide-node index of an internal child;
-      meta <= -2: -(leaf_id+2), a leaf block id into PackedLeaves;
-      meta == -1: empty slot (box is +inf/-inf, can never hit).
+      meta <= -2: -(leaf_id*64 + count + 2) — leaf block id into
+        PackedLeaves plus the leaf's OCCUPIED slot count, so the kernel's
+        slot loop can skip empty 8-slot groups (leaves average ~2/3 full
+        at leaf_size 32; exact to 2^24 up to ~260K leaves / 8M tris);
+      meta == -1: empty slot (box is zeroed, never acted on).
     """
     count = np.asarray(nodes["count"])
     skip = np.asarray(nodes["skip"])
@@ -242,9 +245,12 @@ def widen_bvh(nodes, arity: int = 8):
     wide_of: dict = {}       # binary internal node -> wide index
     depth_of: dict = {}
 
+    def leaf_meta(c):
+        return -(int(leaf_id[c]) * 64 + int(count[c]) + 2)
+
     if N == 1 or leaf_mask[0]:
         # degenerate: root is a leaf — one wide node with one leaf child
-        rows.append([(0, -(int(leaf_id[0]) + 2))])
+        rows.append([(0, leaf_meta(0))])
         depth = 1
     else:
         stack = [(0, 1)]     # (binary internal node, depth)
@@ -270,7 +276,7 @@ def widen_bvh(nodes, arity: int = 8):
             row = []
             for c in kids:
                 if leaf_mask[c]:
-                    row.append((c, -(int(leaf_id[c]) + 2)))
+                    row.append((c, leaf_meta(c)))
                 else:
                     meta_patch.append((wi, len(row), c))
                     row.append((c, None))

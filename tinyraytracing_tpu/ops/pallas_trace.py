@@ -63,10 +63,20 @@ from tinyraytracing_tpu.config import RenderConfig
 from tinyraytracing_tpu.models.scene import Scene
 
 _INF = 3.0e38
-RAY_TILE = 1024
-_ROWS = RAY_TILE // 128
+# RAY_TILE: rays per packet (one shared walk per packet). Swept on v5e
+# (full renders): 4096 is the broad winner — cornell 71.7 -> 121.8M,
+# veach 10.8 -> 12.5M, staircase 4.1 -> 4.7 Mrays/s (the scalar walk
+# bookkeeping amortizes over 32 rows) — EXCEPT big wide trees (grid100K
+# n_wide=1883: 0.52M @1024 vs 0.44M @4096, the per-packet node union
+# grows faster than the amortization) — so the tile is picked per scene:
+# 1024 when the wide tree exceeds WIDE_TILE_LIMIT rows, else 4096.
+# TRT_RAY_TILE env overrides for sweeps.
+import os as _os
+_TILE_ENV = _os.environ.get("TRT_RAY_TILE")
+RAY_TILE = 4096
+RAY_TILE_BIG = 1024
+WIDE_TILE_LIMIT = 1024
 SLOT = 32          # triangle slots per leaf block (PackedLeaves layout)
-SUPER_TILES = 64   # ray tiles per grid step (bounds VMEM)
 N_OUT = 9          # t, pn xyz, tc uv, mtl, em, slot
 
 # node count beyond which the node tables move from SMEM to HBM records.
@@ -132,89 +142,113 @@ def _slab(bx0, by0, bz0, bx1, by1, bz1, invx, invy, invz, oix, oiy, oiz,
     )
 
 
-def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps):
+def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
+                cnt=None):
     """Best-update the carry over one leaf block's L triangle slots.
 
     ``carry`` = (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot);
     ``rays`` = (ox, oy, oz, dx, dy, dz, tg). Shared by the binary and wide
     walks — the estimator-defining inner loop (Woop-plane test, tie-banded
-    emissive tie-break per bvh.cpp:219, shadow early-kill)."""
-    bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot = carry
-    ox, oy, oz, dx, dy, dz, tg = rays
+    emissive tie-break per bvh.cpp:219, shadow early-kill).
+
+    ``cnt`` (wide walk): the leaf's occupied slot count — 8-slot GROUPS
+    entirely past ``cnt`` are skipped via lax.cond (leaves average ~2/3
+    full at leaf_size 32, and pad slots cost the full ~60-op test while
+    never hitting). ``None`` (binary walk) processes all L slots."""
     ga, ha = leaf_loader(leaf)
     leaf_f = (leaf * SLOT).astype(jnp.float32)
-    for s in range(L):
-        g = lambda a: ga(a, s)
-        h = lambda a: ha(a, s)
-        ax, ay, az, bx = g(0), g(1), g(2), g(3)
-        by, bz, cx, cy = g(4), g(5), g(6), g(7)
-        cz, ou, ov, ow = g(8), g(9), g(10), g(11)
-        gx, gy, gz, em = g(12), g(13), g(14), g(15)
 
-        ldw = dx * cx + dy * cy + dz * cz
-        low = ox * cx + oy * cy + oz * cz + ow
-        inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(
-            ldw == 0.0, 1.0, ldw
-        )
-        t = -low * inv
-        u = (ox * ax + oy * ay + oz * az + ou) + t * (
-            dx * ax + dy * ay + dz * az
-        )
-        v = (ox * bx + oy * by + oz * bz + ov) + t * (
-            dx * bx + dy * by + dz * bz
-        )
-        ndd = dx * gx + dy * gy + dz * gz
-        ok = (
-            (jnp.abs(ndd) >= graze)
-            & (ldw != 0.0)
-            & (t >= t_min)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-        )
-        tm = jnp.where(ok, t, _INF)
-        near = (
-            (tm <= bt * (1.0 + tie_eps))
-            & (bt <= tm * (1.0 + tie_eps))
-            & (tm < _INF)
-        )
-        repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
-        # shadow early-kill: accepted wrong-material hit STRICTLY
-        # inside the tie band of the current bound -> dead lane
-        # (bt=-1 prunes everything). Strict: a wrong hit AT the
-        # bound may be the reference's coplanar-light tie (ceiling
-        # and light share a plane in cornell) where the emissive
-        # tie-break must still find the light.
-        mt_slot = h(15)
-        kill = (
-            (tg > -1.5)
-            & (tm * (1.0 + tie_eps) < bt)
-            & (jnp.abs(mt_slot - tg) > 0.5)
-        )
+    def run_slots(carry, lo, hi):
+        bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot = carry
+        ox, oy, oz, dx, dy, dz, tg = rays
+        for s in range(lo, hi):
+            g = lambda a: ga(a, s)
+            h = lambda a: ha(a, s)
+            ax, ay, az, bx = g(0), g(1), g(2), g(3)
+            by, bz, cx, cy = g(4), g(5), g(6), g(7)
+            cz, ou, ov, ow = g(8), g(9), g(10), g(11)
+            gx, gy, gz, em = g(12), g(13), g(14), g(15)
 
-        # interpolated shading attributes (replaces the integrator's
-        # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
-        w = 1.0 - u - v
-        n0x, n0y, n0z, n1x = h(0), h(1), h(2), h(3)
-        n1y, n1z, n2x, n2y = h(4), h(5), h(6), h(7)
-        n2z, t0u, t0v, t1u = h(8), h(9), h(10), h(11)
-        t1v, t2u, t2v, mt = h(12), h(13), h(14), h(15)
-        pnx = n0x * w + n1x * u + n2x * v
-        pny = n0y * w + n1y * u + n2y * v
-        pnz = n0z * w + n1z * u + n2z * v
-        tcu = t0u * w + t1u * u + t2u * v
-        tcv = t0v * w + t1v * u + t2v * v
+            ldw = dx * cx + dy * cy + dz * cz
+            low = ox * cx + oy * cy + oz * cz + ow
+            inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(
+                ldw == 0.0, 1.0, ldw
+            )
+            t = -low * inv
+            u = (ox * ax + oy * ay + oz * az + ou) + t * (
+                dx * ax + dy * ay + dz * az
+            )
+            v = (ox * bx + oy * by + oz * bz + ov) + t * (
+                dx * bx + dy * by + dz * bz
+            )
+            ndd = dx * gx + dy * gy + dz * gz
+            ok = (
+                (jnp.abs(ndd) >= graze)
+                & (ldw != 0.0)
+                & (t >= t_min)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+            )
+            tm = jnp.where(ok, t, _INF)
+            near = (
+                (tm <= bt * (1.0 + tie_eps))
+                & (bt <= tm * (1.0 + tie_eps))
+                & (tm < _INF)
+            )
+            repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
+            # shadow early-kill: accepted wrong-material hit STRICTLY
+            # inside the tie band of the current bound -> dead lane
+            # (bt=-1 prunes everything). Strict: a wrong hit AT the
+            # bound may be the reference's coplanar-light tie (ceiling
+            # and light share a plane in cornell) where the emissive
+            # tie-break must still find the light.
+            mt_slot = h(15)
+            kill = (
+                (tg > -1.5)
+                & (tm * (1.0 + tie_eps) < bt)
+                & (jnp.abs(mt_slot - tg) > 0.5)
+            )
 
-        bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
-        bpnx = jnp.where(repl, pnx, bpnx)
-        bpny = jnp.where(repl, pny, bpny)
-        bpnz = jnp.where(repl, pnz, bpnz)
-        btcu = jnp.where(repl, tcu, btcu)
-        btcv = jnp.where(repl, tcv, btcv)
-        bmtl = jnp.where(kill, -3.0, jnp.where(repl, mt, bmtl))
-        bem = jnp.where(repl, em, bem)
-        bslot = jnp.where(repl, leaf_f + jnp.float32(s), bslot)
-    return bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot
+            # interpolated shading attributes (replaces the integrator's
+            # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
+            w = 1.0 - u - v
+            n0x, n0y, n0z, n1x = h(0), h(1), h(2), h(3)
+            n1y, n1z, n2x, n2y = h(4), h(5), h(6), h(7)
+            n2z, t0u, t0v, t1u = h(8), h(9), h(10), h(11)
+            t1v, t2u, t2v, mt = h(12), h(13), h(14), h(15)
+            pnx = n0x * w + n1x * u + n2x * v
+            pny = n0y * w + n1y * u + n2y * v
+            pnz = n0z * w + n1z * u + n2z * v
+            tcu = t0u * w + t1u * u + t2u * v
+            tcv = t0v * w + t1v * u + t2v * v
+
+            bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
+            bpnx = jnp.where(repl, pnx, bpnx)
+            bpny = jnp.where(repl, pny, bpny)
+            bpnz = jnp.where(repl, pnz, bpnz)
+            btcu = jnp.where(repl, tcu, btcu)
+            btcv = jnp.where(repl, tcv, btcv)
+            bmtl = jnp.where(kill, -3.0, jnp.where(repl, mt, bmtl))
+            bem = jnp.where(repl, em, bem)
+            bslot = jnp.where(repl, leaf_f + jnp.float32(s), bslot)
+        return (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot)
+
+    if cnt is None:
+        return run_slots(carry, 0, L)
+    GROUP = 8
+    for lo in range(0, L, GROUP):
+        hi = min(lo + GROUP, L)
+        if lo == 0:
+            carry = run_slots(carry, lo, hi)     # a leaf has >= 1 slot
+        else:
+            carry = jax.lax.cond(
+                cnt > lo,
+                lambda c, lo=lo, hi=hi: run_slots(c, lo, hi),
+                lambda c: c,
+                carry,
+            )
+    return carry
 
 
 def _init_carry(shp, tb):
@@ -310,9 +344,12 @@ def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
 
         def leaf_case(op):
             sp, carry = op
-            leaf = -m - 2
+            dec = -m - 2                 # leaf_id*64 + count (widen_bvh)
+            leaf = dec >> 6
+            cnt = dec & 63
             return sp, _leaf_slots(leaf, carry, rays, leaf_loader, L=L,
-                                   t_min=t_min, graze=graze, tie_eps=tie_eps)
+                                   t_min=t_min, graze=graze, tie_eps=tie_eps,
+                                   cnt=cnt)
 
         def interior_case(op):
             sp, carry = op
@@ -364,19 +401,19 @@ def _smem_leaf_loader(ps_flat, cols):
     return load
 
 
-def _write_out(outs, r0, carry):
-    sl = (pl.ds(r0, _ROWS), slice(None))
+def _write_out(outs, r0, rows, carry):
+    sl = (pl.ds(r0, rows), slice(None))
     for ref, val in zip(outs, carry):
         ref[sl] = val
 
 
-def _tile_args(refs, r0):
-    return [r[pl.ds(r0, _ROWS), :] for r in refs]
+def _tile_args(refs, r0, rows):
+    return [r[pl.ds(r0, rows), :] for r in refs]
 
 
 def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                  tg_ref, box_ref, meta_ref, ps_ref,
-                 *rest, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+                 *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps):
     outs, (scratch, sem) = rest[:N_OUT], rest[N_OUT:]
 
     def read_node(i):
@@ -386,16 +423,16 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 meta_ref[i * 2], meta_ref[i * 2 + 1])
 
     def tile(ti, _):
-        r0 = ti * _ROWS
+        r0 = ti * rows
         args = _tile_args(
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
-            r0,
+            r0, rows,
         )
         carry = _walk(
             *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
-        _write_out(outs, r0, carry)
+        _write_out(outs, r0, rows, carry)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -403,7 +440,7 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                      tg_ref, box_ref, meta_ref, ps_ref,
-                     *outs, n_nodes, n_tiles, L, t_min, graze, tie_eps,
+                     *outs, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps,
                      ps_cols):
     # small scenes: node tables AND the whole leaf payload in SMEM — leaf
     # visits are pure scalar loads, no per-visit DMA at all
@@ -416,16 +453,16 @@ def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
     loader = _smem_leaf_loader(ps_ref, ps_cols)
 
     def tile(ti, _):
-        r0 = ti * _ROWS
+        r0 = ti * rows
         args = _tile_args(
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
-            r0,
+            r0, rows,
         )
         carry = _walk(
             *args, read_node, loader,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
-        _write_out(outs, r0, carry)
+        _write_out(outs, r0, rows, carry)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -433,7 +470,7 @@ def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 tg_ref, node_ref, ps_ref,
-                *rest, n_nodes, n_tiles, L, t_min, graze, tie_eps):
+                *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps):
     outs, (scratch, nscratch, sem, nsem) = rest[:N_OUT], rest[N_OUT:]
 
     # node_ref is (ceil(N/16), 128): 16 nodes of 8 f32 per 128-lane row
@@ -451,16 +488,16 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 nscratch[b + 7].astype(jnp.int32))
 
     def tile(ti, _):
-        r0 = ti * _ROWS
+        r0 = ti * rows
         args = _tile_args(
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
-            r0,
+            r0, rows,
         )
         carry = _walk(
             *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
-        _write_out(outs, r0, carry)
+        _write_out(outs, r0, rows, carry)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -468,7 +505,7 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tb_ref, tg_ref, wn_ref, ps_ref,
-                      *rest, n_tiles, L, t_min, graze, tie_eps):
+                      *rest, n_tiles, rows, L, t_min, graze, tie_eps):
     # wn_ref: flat SMEM f32, wide node i child c attr k at i*128 + c*8 + k
     outs, (scratch, stack, sem) = rest[:N_OUT], rest[N_OUT:]
 
@@ -477,16 +514,16 @@ def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         return lambda c, k: wn_ref[base + c * 8 + k]
 
     def tile(ti, _):
-        r0 = ti * _ROWS
+        r0 = ti * rows
         args = _tile_args(
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
-            r0,
+            r0, rows,
         )
         carry = _walk_wide(
             *args, wide_child, _dma_leaf_loader(ps_ref, scratch, sem),
             stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
-        _write_out(outs, r0, carry)
+        _write_out(outs, r0, rows, carry)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -494,7 +531,7 @@ def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 def _kernel_wide_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      tb_ref, tg_ref, wn_ref, ps_ref,
-                     *rest, n_tiles, L, t_min, graze, tie_eps):
+                     *rest, n_tiles, rows, L, t_min, graze, tie_eps):
     # wn_ref: (n_wide, 128) in ANY/HBM; one row DMA per interior visit
     outs, (scratch, wscratch, stack, sem, wsem) = rest[:N_OUT], rest[N_OUT:]
 
@@ -506,16 +543,16 @@ def _kernel_wide_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         return lambda c, k: wscratch[c * 8 + k]
 
     def tile(ti, _):
-        r0 = ti * _ROWS
+        r0 = ti * rows
         args = _tile_args(
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
-            r0,
+            r0, rows,
         )
         carry = _walk_wide(
             *args, wide_child, _dma_leaf_loader(ps_ref, scratch, sem),
             stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
         )
-        _write_out(outs, r0, carry)
+        _write_out(outs, r0, rows, carry)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -619,25 +656,36 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     pk = scene.bvh.packed
     R = ox.shape[0]
 
-    super_rays = min(SUPER_TILES * RAY_TILE, RAY_TILE * -(-R // RAY_TILE))
+    have_wide = getattr(pk, "WN", None) is not None and pk.n_wide > 0
+    use_wide = have_wide and (
+        config.bvh_walk == "wide"
+        or (config.bvh_walk == "auto" and pk.n_nodes > SMEM_NODE_LIMIT)
+    )
+    # per-scene packet size (see RAY_TILE comment at the top)
+    if _TILE_ENV is not None:
+        tile = int(_TILE_ENV)
+    elif use_wide and pk.n_wide > WIDE_TILE_LIMIT:
+        tile = RAY_TILE_BIG
+    else:
+        tile = RAY_TILE
+    # ray tiles per grid step: bounds VMEM at ~17 x (super_rays/128, 128)
+    # f32 blocks; 128K rays/step = ~8.5 MB inside the 16 MB scoped limit
+    super_tiles = max(1, 131072 // tile)
+
+    super_rays = min(super_tiles * tile, tile * -(-R // tile))
     pad_r = (-R) % super_rays
     comps = [ox, oy, oz, dx, dy, dz, t_bound, target_mtl]
     if pad_r:
         comps = [jnp.pad(c, (0, pad_r)) for c in comps]
     Rp = comps[0].shape[0]
     n_super = Rp // super_rays
-    tiles_per_super = super_rays // RAY_TILE
+    tiles_per_super = super_rays // tile
     rows_per_super = super_rays // 128
 
     planes = [c.reshape(-1, 128) for c in comps]
 
-    have_wide = getattr(pk, "WN", None) is not None and pk.n_wide > 0
-    use_wide = have_wide and (
-        config.bvh_walk == "wide"
-        or (config.bvh_walk == "auto" and pk.n_nodes > SMEM_NODE_LIMIT)
-    )
     common = dict(
-        n_tiles=tiles_per_super, L=pk.leaf_size,
+        n_tiles=tiles_per_super, rows=tile // 128, L=pk.leaf_size,
         t_min=config.t_min, graze=config.n_dot_d_min, tie_eps=config.tie_eps,
     )
     ray_spec = pl.BlockSpec(
