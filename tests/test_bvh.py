@@ -91,7 +91,7 @@ def test_widen_bvh_structure():
     rng = np.random.default_rng(11)
     tri = rng.uniform(-5, 5, (777, 3, 3))
     nodes, _perm = build_bvh(tri, leaf_size=8)
-    wide, depth = widen_bvh(nodes)
+    wide, depth, _bmap = widen_bvh(nodes)
     count = nodes["count"]
     n_leaves = int((count > 0).sum())
 

@@ -105,6 +105,11 @@ class RenderConfig:
     # fixed 8-arity wastes ~45% of its box tests on empty slots there
     # while SMEM-resident binary visits are already overhead-free).
     bvh_walk: str = "auto"         # auto | wide | binary
+    # rays per kernel grid step (pipeline VMEM = 17 double-buffered
+    # (super/128, 128) f32 blocks). 128K = ~17 MB, right at the scoped
+    # limit — fine alone, but autodiff remat can co-locate two kernel
+    # instances; diff/fast.py drops this to 65536 on its path
+    trace_super_rays: int = 131072
     # differentiation: detach sampled directions / discrete decisions so
     # the backward pass is the path-replay interior-term estimator
     detach_sampling: bool = True

@@ -72,10 +72,11 @@ def apply_params(scene: Scene, cam: Camera, p: SceneParams):
     recomputes EVERY derived geometric quantity differentiably — the Woop
     rows the mxu/pallas intersectors consume and the geometric normal used
     by the grazing cull — so no backend silently traces the untranslated
-    mesh. Any attached BVH is DROPPED (its AABBs, leaf payload, and
-    triangle permutation describe the unoffset mesh): dispatchers fall back
-    to the brute/mxu intersectors, which are also the reverse-mode-safe
-    ones (pallas kernels define no VJP).
+    mesh. An attached BVH (with refit metadata) is REFIT in place
+    (diff/refit.py, stop_gradient — gradients flow through the custom-VJP
+    path replay, diff/fast.py), keeping the fast kernel path live under
+    vertex optimization; a bare BVH without metadata is dropped (brute
+    fallback, the round-3 behavior).
     """
     up_s = {}
     if p.kd is not None:
@@ -97,10 +98,19 @@ def apply_params(scene: Scene, cam: Camera, p: SceneParams):
             woop_a=woop_a, woop_b=woop_b, gn=gn,
             lt_v0=v0[scene.lt_tri], lt_v1=v1[scene.lt_tri],
             lt_v2=v2[scene.lt_tri],
-            bvh=None,
         )
+        refittable = (
+            scene.bvh is not None
+            and scene.bvh.tri_leaf is not None
+            and scene.bvh.packed is not None
+            and scene.bvh.packed.wn_bnode is not None
+        )
+        if not refittable:
+            up_s["bvh"] = None
     if up_s:
         scene = dataclasses.replace(scene, **up_s)
+        if p.vertex_offset is not None and scene.bvh is not None:
+            scene = _refit_sg(scene)
     up_c = {}
     if p.eye is not None:
         up_c["eye"] = p.eye
@@ -109,6 +119,17 @@ def apply_params(scene: Scene, cam: Camera, p: SceneParams):
     if up_c:
         cam = dataclasses.replace(cam, **up_c)
     return scene, cam
+
+
+def _refit_sg(scene: Scene) -> Scene:
+    """Refit the BVH to the moved vertices, stop_gradient'ing ONLY the
+    refit outputs (boxes + packed payload) — the scene's own arrays keep
+    their gradient paths."""
+    from tinyraytracing_tpu.diff.refit import refit_bvh
+
+    refit = refit_bvh(scene)
+    bvh_sg = jax.tree.map(jax.lax.stop_gradient, refit.bvh)
+    return dataclasses.replace(scene, bvh=bvh_sg)
 
 
 def render_loss(

@@ -82,6 +82,10 @@ class PackedLeaves:
     # [x0 y0 z0 x1 y1 z1 meta pad]; meta >= 0 wide child index,
     # <= -2 -(leaf_id+2), == -1 empty
     WN: jax.Array | None = None
+    # refit support: which binary node backs each wide child (-1 empty),
+    # and which leaf slots hold real triangles (pads keep zero Woop rows)
+    wn_bnode: jax.Array | None = None   # (n_wide, 8) int32
+    slot_valid: jax.Array | None = None  # (n_leaves*32,) bool
     n_wide: int = dataclasses.field(default=0, metadata=dict(static=True))
     wide_depth: int = dataclasses.field(default=0, metadata=dict(static=True))
 
@@ -99,6 +103,15 @@ class BVHArrays:
     packed: "PackedLeaves | None"
     n_nodes: int = _static()
     leaf_size: int = _static()
+    # --- refit metadata (static topology; diff/refit.py) ---
+    # vertex moves keep the tree SHAPE and only rewrite boxes/payload:
+    # tri_leaf maps each (permuted) triangle to its leaf node; level +
+    # child indices drive the bottom-up box propagation per level.
+    tri_leaf: jax.Array | None = None   # (T,) leaf node id per triangle
+    level: jax.Array | None = None      # (N,) depth of each node (root 0)
+    child_l: jax.Array | None = None    # (N,) left child (i+1) or -1
+    child_r: jax.Array | None = None    # (N,) right child (skip[i+1]) or -1
+    n_levels: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

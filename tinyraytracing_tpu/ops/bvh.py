@@ -174,6 +174,24 @@ def attach_bvh(scene, config: RenderConfig):
         t2=np.asarray(scene.t2)[perm],
         mtl=np.asarray(scene.tri_mtl)[perm],
     )
+    count_np = np.asarray(nodes["count"])
+    skip_np = np.asarray(nodes["skip"])
+    N = len(count_np)
+    T = v.shape[0]
+    tri_leaf = np.zeros(T, np.int32)
+    for i in np.nonzero(count_np > 0)[0]:
+        s0 = int(nodes["start"][i])
+        tri_leaf[s0:s0 + int(count_np[i])] = i
+    level = np.zeros(N, np.int32)
+    child_l = np.full(N, -1, np.int32)
+    child_r = np.full(N, -1, np.int32)
+    internal = count_np == 0
+    for i in range(N):
+        if internal[i]:
+            l, r = i + 1, int(skip_np[i + 1])
+            child_l[i], child_r[i] = l, r
+            level[l] = level[i] + 1
+            level[r] = level[i] + 1
     bvh = BVHArrays(
         nmin=jnp.asarray(nodes["nmin"]),
         nmax=jnp.asarray(nodes["nmax"]),
@@ -183,6 +201,11 @@ def attach_bvh(scene, config: RenderConfig):
         packed=packed,
         n_nodes=int(nodes["nmin"].shape[0]),
         leaf_size=int(config.leaf_size),
+        tri_leaf=jnp.asarray(tri_leaf),
+        level=jnp.asarray(level),
+        child_l=jnp.asarray(child_l),
+        child_r=jnp.asarray(child_r),
+        n_levels=int(level.max()) + 1 if N else 1,
     )
     permute = lambda a: jnp.asarray(np.asarray(a)[perm])
     inv_perm = np.empty(len(perm), np.int64)
@@ -229,6 +252,9 @@ def widen_bvh(nodes, arity: int = 8):
         slot loop can skip empty 8-slot groups (leaves average ~2/3 full
         at leaf_size 32; exact to 2^24 up to ~260K leaves / 8M tris);
       meta == -1: empty slot (box is zeroed, never acted on).
+    Also returns bnode_map (n_wide, 8) int32: the BINARY node id backing
+    each child slot (-1 empty) — the refit pass (diff/refit.py) uses it to
+    rewrite child boxes after vertex moves without re-collapsing.
     """
     count = np.asarray(nodes["count"])
     skip = np.asarray(nodes["skip"])
@@ -288,15 +314,17 @@ def widen_bvh(nodes, arity: int = 8):
 
     n_wide = len(rows)
     wide = np.zeros((n_wide, 128), np.float32)
-    wide[:, 6::8] = -1.0    # empty slots (kernel gates pushes on meta != -1,
+    wide[:, 6:64:8] = -1.0  # empty slots (kernel gates pushes on meta != -1,
     #                         so the zero box contents are never acted on)
+    bnode_map = np.full((n_wide, 8), -1, np.int32)
     for wi, row in enumerate(rows):
         for c_slot, (b_node, meta) in enumerate(row):
             o = c_slot * 8
             wide[wi, o:o + 3] = nmin[b_node]
             wide[wi, o + 3:o + 6] = nmax[b_node]
             wide[wi, o + 6] = np.float32(meta)
-    return wide, int(depth)
+            bnode_map[wi, c_slot] = b_node
+    return wide, int(depth), bnode_map
 
 
 def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size,
@@ -406,7 +434,7 @@ def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size,
     node_box[:, 7] = leaf_id.astype(np.float32)
     node_meta = np.stack([skip.astype(np.int32), leaf_id], axis=1)
 
-    wide, wide_depth = widen_bvh(nodes)
+    wide, wide_depth, wn_bnode = widen_bvh(nodes)
 
     return PackedLeaves(
         P=jnp.asarray(P_t),
@@ -415,6 +443,7 @@ def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size,
         node_meta=jnp.asarray(node_meta),
         PS=jnp.asarray(PS),
         n_nodes=int(N), n_leaves=int(n_blk), leaf_size=int(leaf_size),
-        WN=jnp.asarray(wide), n_wide=int(wide.shape[0]),
-        wide_depth=int(wide_depth),
+        WN=jnp.asarray(wide), wn_bnode=jnp.asarray(wn_bnode),
+        slot_valid=jnp.asarray(valid),
+        n_wide=int(wide.shape[0]), wide_depth=int(wide_depth),
     )

@@ -668,9 +668,11 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
         tile = RAY_TILE_BIG
     else:
         tile = RAY_TILE
-    # ray tiles per grid step: bounds VMEM at ~17 x (super_rays/128, 128)
-    # f32 blocks; 128K rays/step = ~8.5 MB inside the 16 MB scoped limit
-    super_tiles = max(1, 131072 // tile)
+    # ray tiles per grid step (config.trace_super_rays bounds the
+    # pipeline's VMEM; the diff path uses a half-size step — remat can
+    # co-locate two kernel instances, and 128K/step OOM'd scoped vmem
+    # at exactly 17 MB on the veach backward)
+    super_tiles = max(1, config.trace_super_rays // tile)
 
     super_rays = min(super_tiles * tile, tile * -(-R // tile))
     pad_r = (-R) % super_rays
