@@ -89,6 +89,13 @@ from tinyraytracing_tpu.ops.scan import prefix_sum_lanes
 
 _INF = jnp.float32(3.0e38)
 
+# temporary ablation switches for phase attribution (benchmarks only):
+# "scatter" skips the image scatter-add, "shadow" skips the shadow
+# dispatch (visibility := visible), "nee" skips NEE entirely. Renders are
+# WRONG under any switch — never set outside benchmarks.
+import os as _os
+_ABLATE = set(_os.environ.get("TRT_ABLATE", "").split(","))
+
 
 def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
                  max_iters=None):
@@ -274,7 +281,7 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
         pend = []
         sh_o, sh_d = [], []
         up = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
-        for l in range(L):
+        for l in (range(L) if "nee" not in _ABLATE else ()):
             wo, contrib, distl, okl = _nee_geometry(
                 scene, config, l, point, pn, wi, kd_val, ks, ns,
                 draws[4 * l + 0], draws[4 * l + 1],
@@ -288,20 +295,27 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
         # shadow t-bound = the light distance: the walk prunes everything
         # beyond the light from its first node visit (pending lanes), and
         # bound 0 parks the rest outright
-        st, _, _, _, _, _, smtl, _ = fused_trace_planes(
-            scene,
-            cat([s[0] for s in sh_o]), cat([s[1] for s in sh_o]),
-            cat([s[2] for s in sh_o]),
-            cat([s[0] for s in sh_d]), cat([s[1] for s in sh_d]),
-            cat([s[2] for s in sh_d]),
-            config,
-            t_bound=cat([jnp.where(okl, distl, 0.0)
-                         for (okl, _, distl) in pend]),
-            # early-kill on wrong-material hits (ops/pallas_trace._walk):
-            # occluded lanes stop inflating the packet union
-            target_mtl=cat([jnp.where(okl, light_mtl_f[l], -2.0)
-                            for l, (okl, _, _) in enumerate(pend)]),
-        )
+        if not pend:
+            st = smtl = None
+        elif "shadow" in _ABLATE:
+            st = cat([jnp.where(okl, distl, 0.0) for (okl, _, distl) in pend])
+            smtl = cat([jnp.broadcast_to(light_mtl_f[l], (R,))
+                        for l in range(L)])
+        else:
+            st, _, _, _, _, _, smtl, _ = fused_trace_planes(
+                scene,
+                cat([s[0] for s in sh_o]), cat([s[1] for s in sh_o]),
+                cat([s[2] for s in sh_o]),
+                cat([s[0] for s in sh_d]), cat([s[1] for s in sh_d]),
+                cat([s[2] for s in sh_d]),
+                config,
+                t_bound=cat([jnp.where(okl, distl, 0.0)
+                             for (okl, _, distl) in pend]),
+                # early-kill on wrong-material hits (ops/pallas_trace._walk):
+                # occluded lanes stop inflating the packet union
+                target_mtl=cat([jnp.where(okl, light_mtl_f[l], -2.0)
+                                for l, (okl, _, _) in enumerate(pend)]),
+            )
         for l, (okl, contrib, distl) in enumerate(pend):
             sl = slice(l * R, (l + 1) * R)
             if config.shadow_test == "mtl":
@@ -353,7 +367,8 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
             [jnp.where(finished, rad[k] * inv_spp, 0.0) for k in range(3)],
             axis=-1,
         )
-        img = img.at[spix].add(contrib, mode="drop")
+        if "scatter" not in _ABLATE:
+            img = img.at[spix].add(contrib, mode="drop")
         active = alive_next
 
         return (it + 1, counter, active, path_id, pix, bounce, o, d,

@@ -428,11 +428,17 @@ def pack_bvh_leaves(nodes, woop_a, woop_b, gn, emissive, leaf_size,
     node_box = np.zeros((N, 8), np.float32)
     node_box[:, 0:3] = nodes["nmin"]
     node_box[:, 3:6] = nodes["nmax"]
-    # cols 6/7: skip & leaf_id as exact f32 (N < 2^24) so the HBM-node
-    # fused-kernel variant fetches a whole node in one (8,) DMA
+    # cols 6/7: skip & the leaf encoding as exact f32 so the HBM-node
+    # fused-kernel variant fetches a whole node in one (8,) DMA. Leaves
+    # encode leaf_id*64 + occupied-slot count (same scheme as the wide
+    # meta) so the binary walk can skip empty slot groups too; internal
+    # nodes stay -1.
+    leaf_enc = np.where(
+        count > 0, leaf_id.astype(np.int64) * 64 + count, -1
+    ).astype(np.int32)
     node_box[:, 6] = skip.astype(np.float32)
-    node_box[:, 7] = leaf_id.astype(np.float32)
-    node_meta = np.stack([skip.astype(np.int32), leaf_id], axis=1)
+    node_box[:, 7] = leaf_enc.astype(np.float32)
+    node_meta = np.stack([skip.astype(np.int32), leaf_enc], axis=1)
 
     wide, wide_depth, wn_bnode = widen_bvh(nodes)
 

@@ -103,8 +103,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             anyhit = jnp.any(hit_i)
 
             skip = meta_ref[i * 2]
-            leaf = meta_ref[i * 2 + 1]
-            is_leaf = leaf >= 0
+            enc = meta_ref[i * 2 + 1]    # leaf_id*64 + count, or -1
+            leaf = jnp.where(enc >= 0, enc >> 6, -1)
+            is_leaf = enc >= 0
 
             def do_leaf(carry):
                 bt, bi, bu, bv, be = carry

@@ -291,16 +291,17 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
         i = s[0]
         carry = s[1:]
         bt = carry[0]
-        bx0, by0, bz0, bx1, by1, bz1, skip, leaf = read_node(i)
+        bx0, by0, bz0, bx1, by1, bz1, skip, enc = read_node(i)
         hit_i = _slab(bx0, by0, bz0, bx1, by1, bz1,
                       invx, invy, invz, oix, oiy, oiz, bt, tie_eps)
         anyhit = jnp.any(hit_i)
-        is_leaf = leaf >= 0
+        is_leaf = enc >= 0               # leaf_id*64 + count (pack_bvh_leaves)
 
         carry = jax.lax.cond(
             anyhit & is_leaf,
-            lambda c: _leaf_slots(leaf, c, rays, leaf_loader, L=L,
-                                  t_min=t_min, graze=graze, tie_eps=tie_eps),
+            lambda c: _leaf_slots(enc >> 6, c, rays, leaf_loader, L=L,
+                                  t_min=t_min, graze=graze, tie_eps=tie_eps,
+                                  cnt=enc & 63),
             lambda c: c,
             carry,
         )
@@ -372,6 +373,9 @@ def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
     init = (jnp.int32(1),) + _init_carry(shp, tb)
     out = jax.lax.while_loop(cond, body, init)
     return out[1:]
+
+
+_NOWAIT = _os.environ.get("TRT_NOWAIT") == "1"   # perf probe: WRONG results
 
 
 def _dma_leaf_loader(ps_ref, scratch, sem):
