@@ -264,6 +264,7 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
                                 for (okl, _, distl) in pend])),
                 target_mtl=cat([jnp.where(okl, light_mtl_f[l], -2.0)
                                 for l, (okl, _, _) in enumerate(pend)]),
+                attrs=False,   # visibility only
             )
             for l, (okl, contrib, distl) in enumerate(pend):
                 sl = slice(l * R, (l + 1) * R)

@@ -50,7 +50,8 @@ the image is not bitwise-invariant to lane-count changes (scatter-add
 order into a pixel depends on scheduling), so sharded runs agree to float
 addition reorder, not bitwise.
 
-Forward-only (lax.while_loop); gradients use the fixed-depth scan path.
+Forward-only (lax.while_loop); gradients use diff/fast.py's fixed-depth
+planar renderer over the SAME fused kernel (custom-VJP path replay).
 """
 
 from __future__ import annotations
@@ -315,6 +316,7 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
                 # occluded lanes stop inflating the packet union
                 target_mtl=cat([jnp.where(okl, light_mtl_f[l], -2.0)
                                 for l, (okl, _, _) in enumerate(pend)]),
+                attrs=False,   # visibility only: skip shading interp
             )
         for l, (okl, contrib, distl) in enumerate(pend):
             sl = slice(l * R, (l + 1) * R)

@@ -143,7 +143,7 @@ def _slab(bx0, by0, bz0, bx1, by1, bz1, invx, invy, invz, oix, oiy, oiz,
 
 
 def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
-                cnt=None):
+                cnt=None, attrs=True):
     """Best-update the carry over one leaf block's L triangle slots.
 
     ``carry`` = (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot);
@@ -154,7 +154,11 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
     ``cnt`` (wide walk): the leaf's occupied slot count — 8-slot GROUPS
     entirely past ``cnt`` are skipped via lax.cond (leaves average ~2/3
     full at leaf_size 32, and pad slots cost the full ~60-op test while
-    never hitting). ``None`` (binary walk) processes all L slots."""
+    never hitting). ``None`` (binary walk) processes all L slots.
+
+    ``attrs=False`` (shadow / any-hit queries): skip the shading-attribute
+    interpolation and its best-updates (~40% of the slot loop) — only
+    (bt, bmtl, bem) carry meaning; visibility consumers read mtl alone."""
     ga, ha = leaf_loader(leaf)
     leaf_f = (leaf * SLOT).astype(jnp.float32)
 
@@ -210,28 +214,28 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
                 & (jnp.abs(mt_slot - tg) > 0.5)
             )
 
-            # interpolated shading attributes (replaces the integrator's
-            # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
-            w = 1.0 - u - v
-            n0x, n0y, n0z, n1x = h(0), h(1), h(2), h(3)
-            n1y, n1z, n2x, n2y = h(4), h(5), h(6), h(7)
-            n2z, t0u, t0v, t1u = h(8), h(9), h(10), h(11)
-            t1v, t2u, t2v, mt = h(12), h(13), h(14), h(15)
-            pnx = n0x * w + n1x * u + n2x * v
-            pny = n0y * w + n1y * u + n2y * v
-            pnz = n0z * w + n1z * u + n2z * v
-            tcu = t0u * w + t1u * u + t2u * v
-            tcv = t0v * w + t1v * u + t2v * v
-
             bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
-            bpnx = jnp.where(repl, pnx, bpnx)
-            bpny = jnp.where(repl, pny, bpny)
-            bpnz = jnp.where(repl, pnz, bpnz)
-            btcu = jnp.where(repl, tcu, btcu)
-            btcv = jnp.where(repl, tcv, btcv)
-            bmtl = jnp.where(kill, -3.0, jnp.where(repl, mt, bmtl))
+            bmtl = jnp.where(kill, -3.0, jnp.where(repl, mt_slot, bmtl))
             bem = jnp.where(repl, em, bem)
-            bslot = jnp.where(repl, leaf_f + jnp.float32(s), bslot)
+            if attrs:
+                # interpolated shading attributes (replaces the integrator's
+                # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
+                w = 1.0 - u - v
+                n0x, n0y, n0z, n1x = h(0), h(1), h(2), h(3)
+                n1y, n1z, n2x, n2y = h(4), h(5), h(6), h(7)
+                n2z, t0u, t0v, t1u = h(8), h(9), h(10), h(11)
+                t1v, t2u, t2v = h(12), h(13), h(14)
+                pnx = n0x * w + n1x * u + n2x * v
+                pny = n0y * w + n1y * u + n2y * v
+                pnz = n0z * w + n1z * u + n2z * v
+                tcu = t0u * w + t1u * u + t2u * v
+                tcv = t0v * w + t1v * u + t2v * v
+                bpnx = jnp.where(repl, pnx, bpnx)
+                bpny = jnp.where(repl, pny, bpny)
+                bpnz = jnp.where(repl, pnz, bpnz)
+                btcu = jnp.where(repl, tcu, btcu)
+                btcv = jnp.where(repl, tcv, btcv)
+                bslot = jnp.where(repl, leaf_f + jnp.float32(s), bslot)
         return (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot)
 
     if cnt is None:
@@ -258,7 +262,7 @@ def _init_carry(shp, tb):
 
 
 def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
-          *, n_nodes, L, t_min, graze, tie_eps):
+          *, n_nodes, L, t_min, graze, tie_eps, attrs=True):
     """BINARY skip-link packet walk; returns the best-hit carry.
 
     ``tb`` is the per-ray INITIAL best-t (t-bound): INF for closest-hit
@@ -301,7 +305,7 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
             anyhit & is_leaf,
             lambda c: _leaf_slots(enc >> 6, c, rays, leaf_loader, L=L,
                                   t_min=t_min, graze=graze, tie_eps=tie_eps,
-                                  cnt=enc & 63),
+                                  cnt=enc & 63, attrs=attrs),
             lambda c: c,
             carry,
         )
@@ -314,7 +318,7 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
 
 
 def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
-               stack, *, L, t_min, graze, tie_eps):
+               stack, *, L, t_min, graze, tie_eps, attrs=True):
     """8-WIDE stack packet walk; returns the best-hit carry.
 
     ``wide_child(i)`` -> callable ``g(c, k)`` returning scalar attr k of
@@ -350,7 +354,7 @@ def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
             cnt = dec & 63
             return sp, _leaf_slots(leaf, carry, rays, leaf_loader, L=L,
                                    t_min=t_min, graze=graze, tie_eps=tie_eps,
-                                   cnt=cnt)
+                                   cnt=cnt, attrs=attrs)
 
         def interior_case(op):
             sp, carry = op
@@ -373,6 +377,113 @@ def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
     init = (jnp.int32(1),) + _init_carry(shp, tb)
     out = jax.lax.while_loop(cond, body, init)
     return out[1:]
+
+
+def _walk_wide_pf(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, ps_ref,
+                  stack, lb, sems, *, L, t_min, graze, tie_eps, attrs=True):
+    """_walk_wide with DOUBLE-BUFFERED leaf prefetch: sibling leaves are
+    pushed together, so consecutive pops are often leaves — after
+    resolving the current leaf's block, the NEXT stack top (if a leaf) is
+    DMA'd into the other buffer while the current slot loop runs, hiding
+    the per-visit leaf-DMA latency. ``lb`` is (2, 8, 128) SMEM, ``sems``
+    a (2,) DMA semaphore array. Traversal results identical to
+    _walk_wide."""
+    shp = ox.shape
+    invx, invy, invz, oix, oiy, oiz = _ray_consts(ox, oy, oz, dx, dy, dz)
+    rays = (ox, oy, oz, dx, dy, dz, tg)
+
+    stack[0] = jnp.int32(0)
+
+    def dma(leaf, buf):
+        off = pl.multiple_of(jnp.maximum(leaf, 0) * 128, 128)
+        return pltpu.make_async_copy(
+            ps_ref.at[:, pl.ds(off, 128)], lb.at[buf], sems.at[buf]
+        )
+
+    def cond(s):
+        return s[0] > 0
+
+    def body(s):
+        sp, pf_leaf, pf_buf = s[0], s[1], s[2]
+        carry = s[3:]
+        m = stack[sp - 1]
+        sp = sp - 1
+        is_leaf = m < 0
+
+        def leaf_case(op):
+            sp, pf_leaf, pf_buf, carry = op
+            dec = -m - 2
+            leaf = dec >> 6
+            cnt = dec & 63
+
+            def use_pf(_):
+                dma(pf_leaf, pf_buf).wait()
+                return pf_buf
+
+            def fetch(_):
+                @pl.when(pf_leaf >= 0)
+                def _():
+                    dma(pf_leaf, pf_buf).wait()      # discard stale prefetch
+                buf = jnp.maximum(pf_buf, 0)
+                d = dma(leaf, buf)
+                d.start()
+                d.wait()
+                return buf
+
+            buf = jax.lax.cond(pf_leaf == leaf, use_pf, fetch, 0)
+
+            # prefetch the next top if it is a DIFFERENT leaf
+            nxt = stack[jnp.maximum(sp - 1, 0)]
+            ndec = -nxt - 2
+            nleaf = ndec >> 6
+            do_pf = (sp > 0) & (nxt < -1) & (nleaf != leaf)
+            ob = 1 - buf
+
+            @pl.when(do_pf)
+            def _():
+                dma(nleaf, ob).start()
+
+            pf_leaf2 = jnp.where(do_pf, nleaf, -1)
+            pf_buf2 = jnp.where(do_pf, ob, 0)
+
+            def loader(_leaf):
+                g = lambda a, s: lb[buf, a // 4, (a % 4) * SLOT + s]
+                h = lambda a, s: lb[buf, 4 + a // 4, (a % 4) * SLOT + s]
+                return g, h
+
+            carry = _leaf_slots(leaf, carry, rays, loader, L=L,
+                                t_min=t_min, graze=graze, tie_eps=tie_eps,
+                                cnt=cnt, attrs=attrs)
+            return (sp, pf_leaf2, pf_buf2, carry)
+
+        def interior_case(op):
+            sp, pf_leaf, pf_buf, carry = op
+            bt = carry[0]
+            g = wide_child(m)
+            for c in range(7, -1, -1):
+                meta = g(c, 6)
+                hit_c = _slab(g(c, 0), g(c, 1), g(c, 2),
+                              g(c, 3), g(c, 4), g(c, 5),
+                              invx, invy, invz, oix, oiy, oiz, bt, tie_eps)
+                keep = jnp.any(hit_c) & (meta != -1.0)
+                stack[sp] = meta.astype(jnp.int32)
+                sp = sp + keep.astype(jnp.int32)
+            return (sp, pf_leaf, pf_buf, carry)
+
+        sp, pf_leaf, pf_buf, carry = jax.lax.cond(
+            is_leaf, leaf_case, interior_case, (sp, pf_leaf, pf_buf, carry)
+        )
+        return (sp, pf_leaf, pf_buf) + carry
+
+    init = (jnp.int32(1), jnp.int32(-1), jnp.int32(0)) + _init_carry(shp, tb)
+    out = jax.lax.while_loop(cond, body, init)
+
+    # drain a dangling prefetch (semaphores must balance)
+    @pl.when(out[1] >= 0)
+    def _():
+        dma(out[1], out[2]).wait()
+
+    return out[3:]
 
 
 _NOWAIT = _os.environ.get("TRT_NOWAIT") == "1"   # perf probe: WRONG results
@@ -417,7 +528,7 @@ def _tile_args(refs, r0, rows):
 
 def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                  tg_ref, box_ref, meta_ref, ps_ref,
-                 *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps):
+                 *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps, attrs):
     outs, (scratch, sem) = rest[:N_OUT], rest[N_OUT:]
 
     def read_node(i):
@@ -435,6 +546,7 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
         carry = _walk(
             *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+            attrs=attrs,
         )
         _write_out(outs, r0, rows, carry)
         return 0
@@ -444,7 +556,7 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                      tg_ref, box_ref, meta_ref, ps_ref,
-                     *outs, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps,
+                     *outs, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps, attrs,
                      ps_cols):
     # small scenes: node tables AND the whole leaf payload in SMEM — leaf
     # visits are pure scalar loads, no per-visit DMA at all
@@ -465,6 +577,7 @@ def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
         carry = _walk(
             *args, read_node, loader,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+            attrs=attrs,
         )
         _write_out(outs, r0, rows, carry)
         return 0
@@ -474,7 +587,7 @@ def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 tg_ref, node_ref, ps_ref,
-                *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps):
+                *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps, attrs):
     outs, (scratch, nscratch, sem, nsem) = rest[:N_OUT], rest[N_OUT:]
 
     # node_ref is (ceil(N/16), 128): 16 nodes of 8 f32 per 128-lane row
@@ -500,6 +613,7 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
         carry = _walk(
             *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+            attrs=attrs,
         )
         _write_out(outs, r0, rows, carry)
         return 0
@@ -507,11 +621,14 @@ def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
     jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
+_NO_PREFETCH = _os.environ.get("TRT_NO_PREFETCH") == "1"  # A/B switch
+
+
 def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tb_ref, tg_ref, wn_ref, ps_ref,
-                      *rest, n_tiles, rows, L, t_min, graze, tie_eps):
+                      *rest, n_tiles, rows, L, t_min, graze, tie_eps, attrs):
     # wn_ref: flat SMEM f32, wide node i child c attr k at i*128 + c*8 + k
-    outs, (scratch, stack, sem) = rest[:N_OUT], rest[N_OUT:]
+    outs, (lb, stack, sems) = rest[:N_OUT], rest[N_OUT:]
 
     def wide_child(i):
         base = jnp.maximum(i, 0) * 128
@@ -523,10 +640,18 @@ def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
             r0, rows,
         )
-        carry = _walk_wide(
-            *args, wide_child, _dma_leaf_loader(ps_ref, scratch, sem),
-            stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
-        )
+        if _NO_PREFETCH:
+            carry = _walk_wide(
+                *args, wide_child,
+                _dma_leaf_loader(ps_ref, lb.at[0], sems.at[0]),
+                stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+                attrs=attrs,
+            )
+        else:
+            carry = _walk_wide_pf(
+                *args, wide_child, ps_ref, stack, lb, sems,
+                L=L, t_min=t_min, graze=graze, tie_eps=tie_eps, attrs=attrs,
+            )
         _write_out(outs, r0, rows, carry)
         return 0
 
@@ -535,9 +660,9 @@ def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 def _kernel_wide_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      tb_ref, tg_ref, wn_ref, ps_ref,
-                     *rest, n_tiles, rows, L, t_min, graze, tie_eps):
+                     *rest, n_tiles, rows, L, t_min, graze, tie_eps, attrs):
     # wn_ref: (n_wide, 128) in ANY/HBM; one row DMA per interior visit
-    outs, (scratch, wscratch, stack, sem, wsem) = rest[:N_OUT], rest[N_OUT:]
+    outs, (lb, wscratch, stack, sems, wsem) = rest[:N_OUT], rest[N_OUT:]
 
     def wide_child(i):
         dma = pltpu.make_async_copy(wn_ref.at[jnp.maximum(i, 0)], wscratch,
@@ -552,10 +677,18 @@ def _kernel_wide_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref, tg_ref),
             r0, rows,
         )
-        carry = _walk_wide(
-            *args, wide_child, _dma_leaf_loader(ps_ref, scratch, sem),
-            stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
-        )
+        if _NO_PREFETCH:
+            carry = _walk_wide(
+                *args, wide_child,
+                _dma_leaf_loader(ps_ref, lb.at[0], sems.at[0]),
+                stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
+                attrs=attrs,
+            )
+        else:
+            carry = _walk_wide_pf(
+                *args, wide_child, ps_ref, stack, lb, sems,
+                L=L, t_min=t_min, graze=graze, tie_eps=tie_eps, attrs=attrs,
+            )
         _write_out(outs, r0, rows, carry)
         return 0
 
@@ -616,12 +749,13 @@ def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb, tg,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "force_kernel", "return_tri")
+    jax.jit, static_argnames=("config", "force_kernel", "return_tri",
+                              "attrs")
 )
 def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
                        config: RenderConfig, force_kernel: bool = False,
                        t_bound=None, target_mtl=None,
-                       return_tri: bool = False):
+                       return_tri: bool = False, attrs: bool = True):
     """Fused closest-hit + shading-attribute trace.
 
     Planar in, planar out: six (R,) ray component planes -> a tuple of
@@ -635,6 +769,10 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     the light distance — the walk then prunes everything beyond the light
     from its first node visit (big win on deep trees; see _walk). A hit is
     ``mtl >= 0`` (t < INF remains equivalent for unbounded queries).
+
+    ``attrs=False`` (shadow / any-hit queries): skip the in-kernel
+    shading-attribute interpolation (~40% of the slot loop); the pn/tc/
+    slot outputs are then meaningless — only (t, mtl, em) carry results.
 
     ``return_tri``: append a 9th plane — the best-hit TRIANGLE index as
     f32 (-1 for miss/killed), exact to 2^24. This is what the path-replay
@@ -693,6 +831,7 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     common = dict(
         n_tiles=tiles_per_super, rows=tile // 128, L=pk.leaf_size,
         t_min=config.t_min, graze=config.n_dot_d_min, tie_eps=config.tie_eps,
+        attrs=attrs,
     )
     ray_spec = pl.BlockSpec(
         (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -716,9 +855,9 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
             ]
             extra_args = (pk.WN.reshape(-1), pk.PS)
             scratch = [
-                pltpu.SMEM((8, 128), jnp.float32),
+                pltpu.SMEM((2, 8, 128), jnp.float32),    # leaf double buffer
                 stack_scratch,
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
             kern = functools.partial(_kernel_wide_hbm, **common)
@@ -728,10 +867,10 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
             ]
             extra_args = (pk.WN, pk.PS)
             scratch = [
-                pltpu.SMEM((8, 128), jnp.float32),
+                pltpu.SMEM((2, 8, 128), jnp.float32),    # leaf double buffer
                 pltpu.SMEM((128,), jnp.float32),
                 stack_scratch,
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ]
     else:

@@ -108,8 +108,8 @@ def render_image(
 
     ``renderer``: 'auto' (flagship fused wavefront, scheduling picked by
     scene size), 'persistent' (fused pixel-persistent), 'queue' (queue-fed
-    fused), or 'scan' (fixed-depth differentiable scan — the slow reference
-    path, also used by gradients). On an accelerator backend the queue
+    fused), or 'scan' (fixed-depth differentiable scan; gradients prefer
+    diff.fast.render_diff — the custom-VJP fused path). On an accelerator backend the queue
     renderer runs host-chunked (no device program outlives the ~60 s TPU
     watchdog) and supports checkpoint/resume via ``checkpoint_path``."""
     spp_val = spp or config.spp
