@@ -81,18 +81,20 @@ class RenderConfig:
     # occupancy (survivors park rows) but shrinks the walk union. The
     # t-bound parking makes waiting lanes nearly free in-kernel.
     queue_refill: str = "lane"     # lane | row
-    # re-sort the queue renderer's lane state by path id every N
-    # iterations (0 = never, -1 = auto): refills insert new paths at
-    # dead-lane positions, so packets drift into incoherent path
-    # mixtures; a periodic stable sort restores tile order (consecutive
-    # path ids = neighboring pixels) at the cost of ~16 plane gathers
-    # per resort. Measured (v5e, 131072 lanes): staircase 1.96 -> 2.24
-    # Mrays/s and grid100K 0.23 -> 0.28 at N=2, but veach-mis REGRESSES
-    # 10.6 -> 8.8 (small tree: sort cost > union gain) — so auto picks
-    # N=2 for scenes >= 10K triangles, off below.
+    # re-sort the queue renderer's lane state every N iterations (0 =
+    # never, -1 = auto): refills insert new paths at dead-lane positions,
+    # so packets drift into incoherent mixtures; a periodic stable sort
+    # restores packet locality at the cost of ~16 plane gathers per
+    # resort. veach-mis REGRESSES under any resort (small tree: sort
+    # cost > union gain) — auto resorts only scenes >= 10K triangles,
+    # with the MORTON key (round 4: staircase 5.79 -> 5.95 at N=2,
+    # grid100K 0.59 -> 0.81 and grid1M 0.18 -> 0.24 at N=1).
     queue_resort_every: int = -1
     # resort key: "path" = pure path id (tile-order origins);
-    # "path_octant" = path id blocks sub-sorted by direction octant
+    # "path_octant" = path id blocks sub-sorted by direction octant;
+    # "morton" = 15-bit morton code of the ray origin (spatial packet
+    # re-formation — targets flat many-leaf scenes whose packets
+    # otherwise span hundreds of leaves)
     queue_resort_key: str = "path"
     # BVH walk shape for the fused trace kernel. "wide": 8-wide collapsed
     # nodes with a scalar SMEM stack — one visit tests 8 child boxes and

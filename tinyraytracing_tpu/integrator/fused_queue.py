@@ -128,8 +128,27 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
     shape = (R,)
     key_data = master_key_data(key)
     resort_every = config.queue_resort_every
-    if resort_every < 0:   # auto: big trees only (config.py rationale)
-        resort_every = 2 if scene.num_triangles >= 10_000 else 0
+    resort_key = config.queue_resort_key
+    n_wide = (scene.bvh.packed.n_wide
+              if scene.bvh is not None and scene.bvh.packed is not None
+              else 0)
+    if resort_every < 0:   # auto (config.py rationale + round-4 sweeps)
+        resort_every = 0
+        if scene.num_triangles >= 10_000:
+            # morton-origin packets beat path-order everywhere at the
+            # right cadence: staircase 5.79 -> 5.95 (every 2), grid100K
+            # 0.59 -> 0.81 and grid1M 0.18 -> 0.24 (every 1 — flat
+            # many-leaf scenes churn origins fastest)
+            resort_key = "morton"
+            resort_every = 1 if n_wide > 1024 else 2
+    # scene AABB for the morton resort key (static, from the root node)
+    if scene.bvh is not None:
+        aabb_lo = jax.lax.stop_gradient(scene.bvh.nmin[0])
+        aabb_inv = 1.0 / jnp.maximum(scene.bvh.nmax[0] - scene.bvh.nmin[0],
+                                     1e-6)
+    else:
+        aabb_lo = jnp.zeros(3, jnp.float32)
+        aabb_inv = jnp.ones(3, jnp.float32)
 
     eye = tuple(eye[k] for k in range(3))
     horizontal = tuple(horizontal[k] for k in range(3))
@@ -169,7 +188,29 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
             def resort(args):
                 (active, path_id, pix, bounce, o, d, ray_type, thr, rad,
                  pkd, ray_count) = args
-                if config.queue_resort_key == "path_octant":
+                if resort_key == "morton":
+                    # spatial re-formation: sort lanes by a 15-bit morton
+                    # code of the ray ORIGIN (32^3 cells over the scene
+                    # AABB) — packets then hold spatially-local rays
+                    # regardless of path age, which shrinks the walk's
+                    # leaf union on flat many-leaf scenes (grids). Camera
+                    # lanes all share the eye origin, so the stable sort
+                    # keeps their (coherent) relative order.
+                    def q5(c, k):
+                        x = (o[k] - aabb_lo[k]) * aabb_inv[k]
+                        return jnp.clip((x * 32.0).astype(jnp.int32), 0, 31)
+
+                    qx, qy, qz = q5(0, 0), q5(1, 1), q5(2, 2)
+
+                    def spread(b):
+                        b = (b | (b << 8)) & 0x100F00F
+                        b = (b | (b << 4)) & 0x10C30C3
+                        b = (b | (b << 2)) & 0x1249249
+                        return b
+
+                    key_ = (spread(qx) | (spread(qy) << 1)
+                            | (spread(qz) << 2))
+                elif resort_key == "path_octant":
                     # sub-sort 8192-path blocks (8 kernel packets) by
                     # direction octant: octant groups then span whole
                     # packets, making each packet homogeneous in both
