@@ -196,16 +196,20 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
                     # leaf union on flat many-leaf scenes (grids). Camera
                     # lanes all share the eye origin, so the stable sort
                     # keeps their (coherent) relative order.
+                    _MB = int(_os.environ.get("TRT_MORTON_CELLS", 32))
+
                     def q5(c, k):
                         x = (o[k] - aabb_lo[k]) * aabb_inv[k]
-                        return jnp.clip((x * 32.0).astype(jnp.int32), 0, 31)
+                        return jnp.clip((x * _MB).astype(jnp.int32), 0,
+                                        _MB - 1)
 
                     qx, qy, qz = q5(0, 0), q5(1, 1), q5(2, 2)
 
                     def spread(b):
-                        b = (b | (b << 8)) & 0x100F00F
-                        b = (b | (b << 4)) & 0x10C30C3
-                        b = (b | (b << 2)) & 0x1249249
+                        b = (b | (b << 16)) & 0x30000FF
+                        b = (b | (b << 8)) & 0x300F00F
+                        b = (b | (b << 4)) & 0x30C30C3
+                        b = (b | (b << 2)) & 0x9249249
                         return b
 
                     key_ = (spread(qx) | (spread(qy) << 1)
