@@ -23,8 +23,10 @@ This module closes that:
   sample_bsdf_planar, planar threefry RNG) but reverse-differentiable:
   lax.scan over bounces under jax.checkpoint (rematerialized backward),
   shadow visibility detached (discrete), sampling detached
-  (config.detach_sampling). Estimator semantics identical to
-  integrator/wavefront.trace (reference pathTracing.cpp:3-102).
+  (config.detach_sampling). The estimator being differentiated is the
+  reference's whole shade() recursion (RayTracingOnCPU/pathTracing.cpp:
+  3-102 — NEE + Russian roulette + quirk flags), in the same planar form
+  as integrator/wavefront.trace.
 
 Vertex moves keep the kernel's BVH consistent via diff/refit.py (called
 from inverse.apply_params) — the refit arrays are stop_gradient'd; all
