@@ -95,7 +95,14 @@ _INF = jnp.float32(3.0e38)
 # dispatch (visibility := visible), "nee" skips NEE entirely. Renders are
 # WRONG under any switch — never set outside benchmarks.
 import os as _os
-_ABLATE = set(_os.environ.get("TRT_ABLATE", "").split(","))
+_ABLATE = set(filter(None, _os.environ.get("TRT_ABLATE", "").split(",")))
+if _ABLATE:   # pragma: no cover - benchmark-only path
+    import warnings
+
+    warnings.warn(
+        f"TRT_ABLATE={sorted(_ABLATE)} is set: queue renders will be WRONG "
+        "(phase-attribution benchmarks only)", stacklevel=1
+    )
 
 
 def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
