@@ -21,6 +21,11 @@ Env knobs: BENCH_SCENES="cornell veach staircase" subset, BENCH_SPP,
 BENCH_LANES, BENCH_LEAF (big-scene BVH leaf width, default 32 — measured
 1.4x over the reference's 8 on staircase; estimator-independent).
 
+FAILURE-HONEST AGGREGATION: a scene that errors contributes rays_per_s=0
+to the headline geomean (zeroing it) rather than being dropped — a
+transient tunnel fault must never inflate the headline vs rounds where
+the scene ran. The JSON records scenes_ok / scenes_failed.
+
 Runs on whatever jax.devices() provides (the real TPU under the driver).
 Renders are chunked so no device program outlives the ~60 s TPU watchdog
 (integrator/fused_queue.py docstring).
@@ -119,17 +124,26 @@ def main():
         with open(bpath) as f:
             base = {k: v["rays_per_s"] for k, v in json.load(f)["scenes"].items()}
 
-    ok = {k: r for k, r in results.items() if r.get("rays_per_s", 0) > 0}
-    if not ok:
-        ok = results                                 # all failed: report as-is
-    vals = [r["rays_per_s"] for r in ok.values()]
+    print(json.dumps(aggregate(results, base, bpath)))
+
+
+def aggregate(results: dict, base: dict, bpath: str = "") -> dict:
+    """Fold per-scene results into the headline record. FAILURE-HONEST:
+    an errored scene contributes rays_per_s = 0 to the geomean — zeroing
+    the headline — instead of silently shrinking the scene set (a scene
+    fault must never INFLATE the headline vs rounds where it ran). The
+    record lists which scenes ran and which failed."""
+    failed = sorted(k for k, r in results.items() if not r.get("rays_per_s", 0))
+    ran = sorted(k for k, r in results.items() if r.get("rays_per_s", 0) > 0)
+    vals = [r["rays_per_s"] for r in results.values()]
     geomean = 1.0
     for v in vals:
         geomean *= v
     geomean **= 1.0 / max(len(vals), 1)
 
+    # vs_baseline: same failure-honest rule (failed scene -> ratio 0)
     ratios = [
-        r["rays_per_s"] / base[k] for k, r in ok.items() if k in base
+        r["rays_per_s"] / base[k] for k, r in results.items() if k in base
     ]
     vs = 1.0
     for r in ratios:
@@ -140,27 +154,26 @@ def main():
     # must be the representative number, not the best case); per-scene
     # results incl. cornell ride along. Scenes missing from the measured
     # CPU baseline are a loud error, not a silent fallback ratio.
-    missing = [k for k in ok if k not in base]
+    out_results = dict(results)
+    missing = [k for k in results if k not in base]
     if missing and ratios:
-        results["baseline_missing"] = missing
+        out_results["baseline_missing"] = missing
     elif missing:
         raise SystemExit(
             f"no CPU baseline for any measured scene ({missing}); "
             f"re-run baselines/cpu_reference.cc to fill {bpath}"
         )
-    print(
-        json.dumps(
-            {
-                "metric": "full_render_rays_per_s_geomean",
-                "value": round(geomean, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(vs, 4),
-                "scenes": results,
-                "geomean_rays_per_s": round(geomean, 1),
-                "geomean_vs_cpu_baseline": round(vs, 4),
-            }
-        )
-    )
+    return {
+        "metric": "full_render_rays_per_s_geomean",
+        "value": round(geomean, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 4),
+        "scenes": out_results,
+        "scenes_ok": ran,
+        "scenes_failed": failed,
+        "geomean_rays_per_s": round(geomean, 1),
+        "geomean_vs_cpu_baseline": round(vs, 4),
+    }
 
 
 if __name__ == "__main__":

@@ -13,7 +13,9 @@ scene, cam = load_scene(f"{SC}/{name}/{name}.xml", f"{SC}/{name}/{name}.obj", f"
 lanes = int(os.environ.get("SW_LANES", 131072))
 resort = int(os.environ.get("SW_RESORT", -1))
 rkey = os.environ.get("SW_RKEY", "path")
-cfg = RenderConfig(intersector="auto", max_depth=16, leaf_size=leaf, queue_resort_every=resort, queue_resort_key=rkey)
+tile = int(os.environ.get("SW_TILE", 0))
+mcells = int(os.environ.get("SW_MCELLS", 32))
+cfg = RenderConfig(intersector="auto", max_depth=16, leaf_size=leaf, queue_resort_every=resort, queue_resort_key=rkey, ray_tile=tile, morton_cells=mcells)
 key = jax.random.PRNGKey(0)
 img, rays = render_fused_queue_chunked(scene, cam, key, cfg, 8, lanes=lanes, target_chunk_s=10.0)
 jax.block_until_ready(img)
@@ -23,4 +25,4 @@ for _ in range(2):
     img, rays = render_fused_queue_chunked(scene, cam, key, cfg, 8, lanes=lanes, target_chunk_s=10.0)
     jax.block_until_ready(img)
     best = max(best, float(rays)/(time.perf_counter()-t0))
-print(f"{name} lanes={lanes} resort={resort} key={rkey} leaf={leaf} tile={os.environ.get('TRT_RAY_TILE','1024')}: {best/1e6:.2f} Mrays/s mean={float(np.asarray(img).mean()):.4f}", flush=True)
+print(f"{name} lanes={lanes} resort={resort} key={rkey} leaf={leaf} tile={tile or 'auto'}: {best/1e6:.2f} Mrays/s mean={float(np.asarray(img).mean()):.4f}", flush=True)

@@ -127,6 +127,62 @@ def test_wide_walk_bitwise_matches_binary_walk(test_scene_bvh, rng):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_fused_trace_kill_with_return_tri(test_scene_bvh, rng):
+    """Target-material early-kill combined with return_tri/attrs: killed
+    lanes must report (t=-1, mtl=-3, em=0, tri=-1) exactly like the
+    reference path — a stale occluder slot on a killed lane would make the
+    diff path replay gradients for a hit the forward reported as killed
+    (round-4 advisor finding). pn/tc of killed lanes are undefined by
+    contract and not compared."""
+    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
+
+    scene, _ = test_scene_bvh
+    n = 384
+    # genuine shadow-style queries: origins in the box, directions AT a
+    # sampled point on the light, bound = that distance. (Arbitrary
+    # bounds/targets would make the kill order-dependent — a target-
+    # material hit strictly inside the bound is exactly what the planar-
+    # light equivalence argument excludes, _walk docstring.)
+    org, _ = _rays(rng, n)
+    lv0 = np.asarray(scene.lt_v0[0, 0])
+    lv1 = np.asarray(scene.lt_v1[0, 0])
+    lv2 = np.asarray(scene.lt_v2[0, 0])
+    b = rng.uniform(0, 1, (n, 3))
+    b /= b.sum(1, keepdims=True)
+    lp = b[:, :1] * lv0 + b[:, 1:2] * lv1 + b[:, 2:] * lv2
+    to_l = lp - np.asarray(org)
+    tb = jnp.asarray(np.linalg.norm(to_l, axis=1), jnp.float32)
+    d = jnp.asarray(to_l / np.asarray(tb)[:, None], jnp.float32)
+    tg = jnp.full((n,), float(scene.light_mtl[0]), jnp.float32)
+    args = (org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    kw = dict(t_bound=tb, target_mtl=tg, return_tri=True)
+    for walk in ("wide", "binary"):
+        ker = fused_trace_planes(scene, *args, CFG.replace(bvh_walk=walk),
+                                 force_kernel=True, **kw)
+        ref = fused_trace_planes(scene, *args, CFG.replace(bvh_walk=walk),
+                                 force_kernel=False, **kw)
+        killed = np.asarray(ref[6]) == -3.0
+        assert killed.any(), "test did not exercise the kill path"
+        # same killed set; killed lanes report the exact sentinel tuple
+        np.testing.assert_array_equal(np.asarray(ker[6]) == -3.0, killed)
+        for i, sentinel in ((0, -1.0), (7, 0.0), (8, -1.0)):
+            np.testing.assert_array_equal(
+                np.asarray(ker[i])[killed], np.full(killed.sum(), sentinel)
+            )
+        # surviving lanes: same hits/materials/triangles, attrs close
+        live = ~killed
+        for i in (6, 7, 8):
+            np.testing.assert_array_equal(np.asarray(ker[i])[live],
+                                          np.asarray(ref[i])[live])
+        np.testing.assert_allclose(np.asarray(ker[0])[live],
+                                   np.asarray(ref[0])[live],
+                                   rtol=1e-5, atol=1e-6)
+        for i in (1, 2, 3, 4, 5):
+            np.testing.assert_allclose(np.asarray(ker[i])[live],
+                                       np.asarray(ref[i])[live],
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_fused_trace_on_cornell_synth(rng):
     from tinyraytracing_tpu.models.procedural import cornell_box
     from tinyraytracing_tpu.ops.bvh import attach_bvh

@@ -124,8 +124,14 @@ def test_threefry_planar_fixed_vectors():
     pinned = np.asarray(_THREEFRY_PINNED, np.uint32)
     np.testing.assert_array_equal(got, pinned)
     # ... and since round 4 the schedule is the STANDARD Threefry-2x32-20,
-    # so the stream must be bit-identical to jax's own implementation
-    from jax._src.prng import threefry_2x32
+    # so the stream must be bit-identical to jax's own implementation.
+    # The cross-check imports a private jax module; the pinned vectors
+    # above already guard the stream, so a jax relayout of that module
+    # skips the redundant check instead of failing the suite.
+    try:
+        from jax._src.prng import threefry_2x32
+    except ImportError:
+        pytest.skip("jax private threefry module moved; pinned vectors above still guard the stream")
 
     for i in range(3):
         ref = threefry_2x32(

@@ -96,6 +96,13 @@ class RenderConfig:
     # re-formation — targets flat many-leaf scenes whose packets
     # otherwise span hundreds of leaves)
     queue_resort_key: str = "path"
+    # morton-resort cells per axis (sweep knob; 32/64/128 measured flat on
+    # the grid scenes round 4). A config field — not an env var — so sweeps
+    # invalidate the jit cache like any other config change.
+    morton_cells: int = 32
+    # rays per kernel packet (one shared walk per packet); 0 = auto
+    # per-scene pick (ops/pallas_trace.py RAY_TILE rationale + sweeps)
+    ray_tile: int = 0
     # BVH walk shape for the fused trace kernel. "wide": 8-wide collapsed
     # nodes with a scalar SMEM stack — one visit tests 8 child boxes and
     # leaf visits lose their separate box test (ops/bvh.widen_bvh).

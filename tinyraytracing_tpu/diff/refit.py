@@ -34,15 +34,19 @@ import jax
 import jax.numpy as jnp
 
 
-def refit_bvh(scene, aabb_pad: float = 1e-3):
+def refit_bvh(scene, aabb_pad: float | None = None):
     """Return ``scene`` with its BVH boxes + leaf payload refit to the
     CURRENT v0/v1/v2/woop_a/woop_b/gn arrays. Requires the refit metadata
     attach_bvh records (BVHArrays.tri_leaf/level/child_*, PackedLeaves.
-    wn_bnode/slot_valid)."""
+    wn_bnode/slot_valid). ``aabb_pad`` defaults to the pad the BUILDER
+    recorded on the tree (BVHArrays.aabb_pad) so refit boxes match a
+    from-scratch build even under a non-default config.aabb_pad."""
     bvh = scene.bvh
     pk = bvh.packed
     if bvh.tri_leaf is None or pk is None or pk.wn_bnode is None:
         raise ValueError("scene.bvh lacks refit metadata (re-attach_bvh)")
+    if aabb_pad is None:
+        aabb_pad = bvh.aabb_pad
     N = bvh.n_nodes
 
     tmin = jnp.minimum(jnp.minimum(scene.v0, scene.v1), scene.v2)

@@ -203,7 +203,7 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
                     # leaf union on flat many-leaf scenes (grids). Camera
                     # lanes all share the eye origin, so the stable sort
                     # keeps their (coherent) relative order.
-                    _MB = int(_os.environ.get("TRT_MORTON_CELLS", 32))
+                    _MB = config.morton_cells
 
                     def q5(c, k):
                         x = (o[k] - aabb_lo[k]) * aabb_inv[k]
@@ -556,7 +556,7 @@ def render_fused_queue_chunked(
                 key=np.asarray(master_key_data(key)),
                 config=repr(config),
                 scene_tris=scene.num_triangles,
-                scene_vsum=float(jnp.sum(scene.v0) + jnp.sum(scene.v2)),
+                scene_vsum=ckpt.scene_checksum(scene),
                 state_version=ckpt.QUEUE_STATE_VERSION,
                 treedef=str(treedef))
     if resume and checkpoint_path:

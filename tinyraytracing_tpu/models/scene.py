@@ -112,6 +112,10 @@ class BVHArrays:
     child_l: jax.Array | None = None    # (N,) left child (i+1) or -1
     child_r: jax.Array | None = None    # (N,) right child (skip[i+1]) or -1
     n_levels: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # the pad the BUILDER applied to every box (bvh.cpp:31-40); the refit
+    # pass (diff/refit.py) re-applies this exact value so propagated boxes
+    # equal a from-scratch build even under a non-default config.aabb_pad
+    aabb_pad: float = dataclasses.field(default=1e-3, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -338,6 +342,7 @@ def assemble_scene(
             packed=packed,
             n_nodes=int(nodes["nmin"].shape[0]),
             leaf_size=int(nodes["leaf_size"]),
+            aabb_pad=float(nodes.get("aabb_pad", 1e-3)),
         )
 
     if woop_a is None:

@@ -141,6 +141,7 @@ def build_bvh_host(
     except ImportError:
         nodes, perm = build_bvh(np.asarray(tri_v), leaf_size, aabb_pad)
     nodes["leaf_size"] = leaf_size
+    nodes["aabb_pad"] = aabb_pad
     return nodes, perm
 
 
@@ -206,6 +207,7 @@ def attach_bvh(scene, config: RenderConfig):
         child_l=jnp.asarray(child_l),
         child_r=jnp.asarray(child_r),
         n_levels=int(level.max()) + 1 if N else 1,
+        aabb_pad=float(config.aabb_pad),
     )
     permute = lambda a: jnp.asarray(np.asarray(a)[perm])
     inv_perm = np.empty(len(perm), np.int64)

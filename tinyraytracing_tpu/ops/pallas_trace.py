@@ -70,9 +70,9 @@ _INF = 3.0e38
 # n_wide=1883: 0.52M @1024 vs 0.44M @4096, the per-packet node union
 # grows faster than the amortization) — so the tile is picked per scene:
 # 1024 when the wide tree exceeds WIDE_TILE_LIMIT rows, else 4096.
-# TRT_RAY_TILE env overrides for sweeps.
+# config.ray_tile overrides for sweeps (a config field so it participates
+# in the jit cache key — an env knob would silently hit stale compilations).
 import os as _os
-_TILE_ENV = _os.environ.get("TRT_RAY_TILE")
 RAY_TILE = 4096
 RAY_TILE_BIG = 1024
 WIDE_TILE_LIMIT = 1024
@@ -143,7 +143,7 @@ def _slab(bx0, by0, bz0, bx1, by1, bz1, invx, invy, invz, oix, oiy, oiz,
 
 
 def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
-                cnt=None, attrs=True):
+                cnt=None, attrs=True, occl=False):
     """Best-update the carry over one leaf block's L triangle slots.
 
     ``carry`` = (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot);
@@ -158,11 +158,65 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
 
     ``attrs=False`` (shadow / any-hit queries): skip the shading-attribute
     interpolation and its best-updates (~40% of the slot loop) — only
-    (bt, bmtl, bem) carry meaning; visibility consumers read mtl alone."""
+    (bt, bmtl, bem) carry meaning; visibility consumers read mtl alone.
+
+    ``occl=True`` (round 5, the ANY-HIT shadow walk): the pure OCCLUSION
+    query. ``carry`` = (bt, bs); the loop answers only the two questions
+    reference visibility (pathTracing.cpp:55-58) decomposes into under the
+    planar/closed-light argument (_walk docstring): (a) KILL — an accepted
+    wrong-material hit strictly inside the band occludes (bt := -1, lane
+    leaves the packet union), (b) SEEN — some target-material hit within
+    the tie band of the bound exists (bs := 1). Visibility = seen & ~killed.
+    No best-t/near/tie-break/attribute bookkeeping at all — the whole
+    closest-hit carry and ~1/3 of the slot arithmetic drop out, and the
+    kernel writes 2 output planes instead of 9."""
     ga, ha = leaf_loader(leaf)
     leaf_f = (leaf * SLOT).astype(jnp.float32)
 
+    def run_slots_occl(carry, lo, hi):
+        bt, bs = carry
+        ox, oy, oz, dx, dy, dz, tg = rays
+        for s in range(lo, hi):
+            g = lambda a: ga(a, s)
+            h = lambda a: ha(a, s)
+            ax, ay, az, bx = g(0), g(1), g(2), g(3)
+            by, bz, cx, cy = g(4), g(5), g(6), g(7)
+            cz, ou, ov, ow = g(8), g(9), g(10), g(11)
+            gx, gy, gz = g(12), g(13), g(14)
+
+            ldw = dx * cx + dy * cy + dz * cz
+            low = ox * cx + oy * cy + oz * cz + ow
+            inv = jnp.where(ldw == 0.0, 0.0, 1.0) / jnp.where(
+                ldw == 0.0, 1.0, ldw
+            )
+            t = -low * inv
+            u = (ox * ax + oy * ay + oz * az + ou) + t * (
+                dx * ax + dy * ay + dz * az
+            )
+            v = (ox * bx + oy * by + oz * bz + ov) + t * (
+                dx * bx + dy * by + dz * bz
+            )
+            ndd = dx * gx + dy * gy + dz * gz
+            ok = (
+                (jnp.abs(ndd) >= graze)
+                & (ldw != 0.0)
+                & (t >= t_min)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+            )
+            tm = jnp.where(ok, t, _INF)
+            wrong = jnp.abs(h(15) - tg) > 0.5
+            kill = (tg > -1.5) & (tm * (1.0 + tie_eps) < bt) & wrong
+            bs = jnp.where(
+                ok & ~wrong & (tm <= bt * (1.0 + tie_eps)), 1.0, bs
+            )
+            bt = jnp.where(kill, -1.0, bt)
+        return (bt, bs)
+
     def run_slots(carry, lo, hi):
+        if occl:
+            return run_slots_occl(carry, lo, hi)
         bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot = carry
         ox, oy, oz, dx, dy, dz, tg = rays
         for s in range(lo, hi):
@@ -216,7 +270,11 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
 
             bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
             bmtl = jnp.where(kill, -3.0, jnp.where(repl, mt_slot, bmtl))
-            bem = jnp.where(repl, em, bem)
+            # killed lanes report em=0 / slot=-1 like the reference path:
+            # without the reset a killed lane would keep (or take, when the
+            # killing hit also satisfies ``repl``) a stale occluder slot and
+            # return_tri would report tri >= 0 for a lane the forward killed
+            bem = jnp.where(kill, 0.0, jnp.where(repl, em, bem))
             if attrs:
                 # interpolated shading attributes (replaces the integrator's
                 # n0/n1/n2/t0/t1/t2/tri_mtl gathers)
@@ -235,7 +293,9 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
                 bpnz = jnp.where(repl, pnz, bpnz)
                 btcu = jnp.where(repl, tcu, btcu)
                 btcv = jnp.where(repl, tcv, btcv)
-                bslot = jnp.where(repl, leaf_f + jnp.float32(s), bslot)
+                bslot = jnp.where(
+                    kill, -1.0, jnp.where(repl, leaf_f + jnp.float32(s), bslot)
+                )
         return (bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot)
 
     if cnt is None:
@@ -484,9 +544,6 @@ def _walk_wide_pf(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, ps_ref,
         dma(out[1], out[2]).wait()
 
     return out[3:]
-
-
-_NOWAIT = _os.environ.get("TRT_NOWAIT") == "1"   # perf probe: WRONG results
 
 
 def _dma_leaf_loader(ps_ref, scratch, sem):
@@ -804,8 +861,8 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
         or (config.bvh_walk == "auto" and pk.n_nodes > SMEM_NODE_LIMIT)
     )
     # per-scene packet size (see RAY_TILE comment at the top)
-    if _TILE_ENV is not None:
-        tile = int(_TILE_ENV)
+    if config.ray_tile:
+        tile = config.ray_tile
     elif use_wide and pk.n_wide > WIDE_TILE_LIMIT:
         tile = RAY_TILE_BIG
     else:

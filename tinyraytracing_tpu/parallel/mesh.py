@@ -399,7 +399,7 @@ def render_queue_sharded_chunked(
     meta = dict(spp=spp, lanes=lanes_dev, n_devices=D, n_paths=per,
                 W=W, H=H, key=np.asarray(master_key_data(key)),
                 config=repr(config), scene_tris=scene.num_triangles,
-                scene_vsum=float(jnp.sum(scene.v0) + jnp.sum(scene.v2)),
+                scene_vsum=ckpt.scene_checksum(scene),
                 state_version=ckpt.QUEUE_STATE_VERSION,
                 treedef=str(treedef))
     if resume and checkpoint_path:

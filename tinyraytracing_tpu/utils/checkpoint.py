@@ -31,6 +31,20 @@ from tinyraytracing_tpu.render import render_pass
 QUEUE_STATE_VERSION = 2
 
 
+def scene_checksum(scene) -> float:
+    """Scene-identity checksum bound into queue snapshots: covers geometry
+    (all three vertex arrays), shading normals, materials and emission, so
+    a snapshot cannot resume against a scene that differs only in, say,
+    normals or radiance (same triangle count and config repr)."""
+    import jax.numpy as jnp
+
+    total = jnp.float64(0.0) if jax.config.jax_enable_x64 else jnp.float32(0.0)
+    for a in (scene.v0, scene.v1, scene.v2, scene.n0, scene.kd, scene.ks,
+              scene.radiance):
+        total = total + jnp.sum(a)
+    return float(total)
+
+
 def _atomic_savez(path: str, **arrays) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
