@@ -77,9 +77,14 @@ def main():
     which = os.environ.get("BENCH_SCENES", "cornell veach staircase").split()
     spp = int(os.environ.get("BENCH_SPP", 8))
     lanes = int(os.environ.get("BENCH_LANES", 262144))
-    # queue scenes run faster at half-width lanes (veach 9.5 vs 8.8 Mrays/s:
-    # less scatter + fixed work per ray at equal kernel occupancy)
-    qlanes = int(os.environ.get("BENCH_LANES_QUEUE", 131072))
+    # queue scenes run faster at narrower lanes (fixed per-iteration costs
+    # scale with R; round-5 sweep: veach 65536 = 18.4 vs 131072 = 15.1
+    # Mrays/s, staircase prefers 131072 — per-scene defaults below)
+    qlanes_env = os.environ.get("BENCH_LANES_QUEUE")
+    qlanes = {
+        "veach-mis": int(qlanes_env or 65536),
+        "staircase": int(qlanes_env or 131072),
+    }
     leaf = int(os.environ.get("BENCH_LEAF", 32))
     key = jax.random.PRNGKey(0)
     results = {}
@@ -112,7 +117,7 @@ def main():
             )
             rps, mean = _bench(
                 render_fused_queue_chunked, scene, cam, key, cfg_big, spp,
-                lanes=qlanes, target_chunk_s=10.0,
+                lanes=qlanes[name], target_chunk_s=10.0,
             )
             results[name] = dict(rays_per_s=round(rps, 1), mean=round(mean, 4))
         except Exception as e:                       # pragma: no cover
@@ -124,7 +129,82 @@ def main():
         with open(bpath) as f:
             base = {k: v["rays_per_s"] for k, v in json.load(f)["scenes"].items()}
 
-    print(json.dumps(aggregate(results, base, bpath)))
+    record = aggregate(results, base, bpath)
+    if os.environ.get("BENCH_GRAD", "1") != "0":
+        record["grad"] = _grad_bench()
+    print(json.dumps(record))
+
+
+def _grad_bench():
+    """Driver-captured fwd+bwd rays/s (the BASELINE.json north-star
+    metric): value_and_grad of the fast-path MSE loss (diff/fast.py) on
+    the three reference scenes, kd grads everywhere plus the
+    kd+vertex+eye config on cornell. Failures are recorded per config
+    (rays_per_s=0 + error), not silently dropped."""
+    import jax.numpy as jnp
+
+    from tinyraytracing_tpu.config import RenderConfig
+    from tinyraytracing_tpu.diff.fast import render_diff, render_loss_fast
+    from tinyraytracing_tpu.diff.inverse import SceneParams
+    from tinyraytracing_tpu.models.procedural import cornell_box
+    from tinyraytracing_tpu.models.scene import load_scene
+    from tinyraytracing_tpu.ops.bvh import attach_bvh
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    def one(tag, scene, cam, spp, fields, depth=8):
+        try:
+            cfg = RenderConfig(intersector="auto", max_depth=depth,
+                               leaf_size=32)
+            target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+            params = SceneParams.init_from(scene, cam, *fields)
+            fwd = jax.jit(lambda: render_diff(scene, cam, key, cfg, spp,
+                                              return_rays=True))
+            img, rays = fwd()
+            jax.block_until_ready(img)
+            rays = float(rays)
+            t0 = time.perf_counter()
+            img, _ = fwd()
+            jax.block_until_ready(img)
+            fwd_s = time.perf_counter() - t0
+            vg = jax.jit(jax.value_and_grad(
+                lambda p: render_loss_fast(p, scene, cam, key, target, cfg,
+                                           spp)))
+            loss, g = vg(params)
+            jax.block_until_ready(loss)
+            best = 0.0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                loss, g = vg(params)
+                jax.block_until_ready(loss)
+                best = max(best, rays / (time.perf_counter() - t0))
+            out[tag] = dict(
+                fwd_bwd_rays_per_s=round(best, 1),
+                fwd_rays_per_s=round(rays / fwd_s, 1),
+                spp=spp, fields=list(fields),
+            )
+        except Exception as e:                      # pragma: no cover
+            out[tag] = dict(fwd_bwd_rays_per_s=0.0, error=str(e)[:120])
+
+    try:
+        cfgb = RenderConfig(leaf_size=32)
+        scene, cam = cornell_box(width=512, height=512)
+        scene = attach_bvh(scene, cfgb)
+        one("cornell_kd", scene, cam, 4, ("kd",))
+        one("cornell_kd_vertex_eye", scene, cam, 4,
+            ("kd", "vertex_offset", "eye"))
+        for name, spp in (("veach-mis", 2), ("staircase", 1)):
+            s, c = load_scene(
+                f"{SCENES_DIR}/{name}/{name}.xml",
+                f"{SCENES_DIR}/{name}/{name}.obj",
+                f"{SCENES_DIR}/{name}/{name}.mtl",
+                f"{SCENES_DIR}/{name}", with_bvh=True, leaf_size=32,
+            )
+            one(f"{name}_kd", s, c, spp, ("kd",))
+    except Exception as e:                          # pragma: no cover
+        out["setup_error"] = str(e)[:200]
+    return out
 
 
 def aggregate(results: dict, base: dict, bpath: str = "") -> dict:

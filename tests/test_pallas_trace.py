@@ -183,6 +183,75 @@ def test_fused_trace_kill_with_return_tri(test_scene_bvh, rng):
                                        rtol=1e-4, atol=1e-4)
 
 
+def _shadow_queries(scene, rng, n):
+    """Genuine shadow-style queries: origins in the scene, directions at a
+    sampled point on light 0, bound = that distance (planar-light regime
+    where the kill/seen decomposition is exact — _walk docstring)."""
+    org, _ = _rays(rng, n)
+    lv0 = np.asarray(scene.lt_v0[0, 0])
+    lv1 = np.asarray(scene.lt_v1[0, 0])
+    lv2 = np.asarray(scene.lt_v2[0, 0])
+    b = rng.uniform(0, 1, (n, 3))
+    b /= b.sum(1, keepdims=True)
+    lp = b[:, :1] * lv0 + b[:, 1:2] * lv1 + b[:, 2:] * lv2
+    to_l = lp - np.asarray(org)
+    tb = jnp.asarray(np.linalg.norm(to_l, axis=1), jnp.float32)
+    d = jnp.asarray(to_l / np.asarray(tb)[:, None], jnp.float32)
+    tg = jnp.full((n,), float(scene.light_mtl[0]), jnp.float32)
+    return org, d, tb, tg
+
+
+def test_occlusion_query_matches_closest_hit_visibility(test_scene_bvh, rng):
+    """query="occlusion" (the round-5 any-hit shadow walk) must agree with
+    the closest-hit walk's material-equality visibility on genuine shadow
+    queries — both walks, and the CPU reference emulation."""
+    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
+
+    scene, _ = test_scene_bvh
+    org, d, tb, tg = _shadow_queries(scene, rng, 384)
+    args = (org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    kw = dict(t_bound=tb, target_mtl=tg)
+    for walk in ("wide", "binary"):
+        cfg = CFG.replace(bvh_walk=walk)
+        # old visibility: closest-hit material == target
+        _, _, _, _, _, _, smtl, _ = fused_trace_planes(
+            scene, *args, cfg, force_kernel=True, attrs=False, **kw
+        )
+        vis_old = np.asarray(smtl) == np.asarray(tg)
+        assert vis_old.any() and not vis_old.all()
+        # new: seen & ~killed from the 2-plane occlusion query
+        sbt, sseen = fused_trace_planes(
+            scene, *args, cfg, force_kernel=True, query="occlusion", **kw
+        )
+        vis_new = (np.asarray(sseen) > 0.5) & (np.asarray(sbt) >= 0.0)
+        np.testing.assert_array_equal(vis_new, vis_old)
+        # CPU reference emulation agrees too
+        rbt, rseen = fused_trace_planes(
+            scene, *args, cfg, force_kernel=False, query="occlusion", **kw
+        )
+        vis_ref = (np.asarray(rseen) > 0.5) & (np.asarray(rbt) >= 0.0)
+        np.testing.assert_array_equal(vis_ref, vis_old)
+
+
+def test_wide_walk_near_order(test_scene_bvh, rng):
+    """walk_order="near" (experimental ordered pushes + stale culling)
+    must keep the same hit set and distances as the default preorder walk
+    — visit order may only flip tie-band corner cases, none of which
+    exist on this scene's random rays."""
+    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
+
+    scene, _ = test_scene_bvh
+    org, d = _rays(rng, 256)
+    args = (org[:, 0], org[:, 1], org[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    a = fused_trace_planes(scene, *args,
+                           CFG.replace(bvh_walk="wide", walk_order="near"),
+                           force_kernel=True)
+    b = fused_trace_planes(scene, *args, CFG.replace(bvh_walk="wide"),
+                           force_kernel=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_fused_trace_on_cornell_synth(rng):
     from tinyraytracing_tpu.models.procedural import cornell_box
     from tinyraytracing_tpu.ops.bvh import attach_bvh

@@ -114,6 +114,15 @@ class RenderConfig:
     # fixed 8-arity wastes ~45% of its box tests on empty slots there
     # while SMEM-resident binary visits are already overhead-free).
     bvh_walk: str = "auto"         # auto | wide | binary
+    # wide-walk child push order: "preorder" pops in the binary walk's
+    # order (results bitwise-equal to it); "near" sorts children by
+    # box-center distance along the packet's MEAN direction (19-CE scalar
+    # network per interior visit) so near nodes are visited first —
+    # occluders kill shadow lanes sooner and close hits shrink the
+    # closest-hit bound sooner. Visit order changes which tie-band /
+    # kill-order corner cases win, so images can differ from the binary
+    # walk in the last ulps of a few lanes (measure before enabling).
+    walk_order: str = "preorder"   # preorder | near
     # rays per kernel grid step (pipeline VMEM = 17 double-buffered
     # (super/128, 128) f32 blocks). 128K = ~17 MB, right at the scoped
     # limit — fine alone, but autodiff remat can co-locate two kernel

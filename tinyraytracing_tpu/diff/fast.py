@@ -66,12 +66,35 @@ from tinyraytracing_tpu.ops.rng import (
 )
 
 
+# one-hot row gather limit: up to this triangle count the replay reads
+# per-ray triangle rows as an EXACT (R, T) one-hot matmul (0/1 operand at
+# HIGHEST precision selects rows exactly — same trick as the NEE CDF
+# fetch, integrator/fused._nee_geometry). Its VJP is the transposed
+# matmul, i.e. the (T, C) cotangent segment-sum runs ON THE MXU instead
+# of 9 per-bounce XLA scatter-adds — the round-4 vertex-grad replay paid
+# ~8x the albedo-only backward in exactly those gathers+scatters.
+_ONEHOT_T = 256
+
+
+def _tri_rows(tab, i):
+    T = tab.shape[0]
+    if T > _ONEHOT_T:
+        return tab[i]
+    onehot = (jnp.arange(T, dtype=i.dtype)[None, :] == i[:, None]).astype(
+        jnp.float32
+    )
+    return jax.lax.dot_general(
+        onehot, tab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _replay_outputs(v0, v1, v2, n0, n1, n2, t0, t1, t2,
                     ox, oy, oz, dx, dy, dz, tri, hit):
     """Closed-form (t, pn, tc) of the FIXED hit triangles — the function
     whose VJP is the interior-term backward. Non-hit lanes contribute 0."""
     i = jnp.maximum(tri, 0)
-    a0, b0, c0 = v0[i], v1[i], v2[i]
+    a0, b0, c0 = _tri_rows(v0, i), _tri_rows(v1, i), _tri_rows(v2, i)
     o = jnp.stack([ox, oy, oz], axis=-1)
     d = jnp.stack([dx, dy, dz], axis=-1)
     e1 = b0 - a0
@@ -87,8 +110,10 @@ def _replay_outputs(v0, v1, v2, n0, n1, n2, t0, t1, t2,
     t = jnp.sum(e2 * q, axis=-1) * inv
     w = 1.0 - u - v
     m = hit.astype(jnp.float32)
-    pn = n0[i] * w[:, None] + n1[i] * u[:, None] + n2[i] * v[:, None]
-    tc = t0[i] * w[:, None] + t1[i] * u[:, None] + t2[i] * v[:, None]
+    pn = (_tri_rows(n0, i) * w[:, None] + _tri_rows(n1, i) * u[:, None]
+          + _tri_rows(n2, i) * v[:, None])
+    tc = (_tri_rows(t0, i) * w[:, None] + _tri_rows(t1, i) * u[:, None]
+          + _tri_rows(t2, i) * v[:, None])
     return (t * m, pn[:, 0] * m, pn[:, 1] * m, pn[:, 2] * m,
             tc[:, 0] * m, tc[:, 1] * m)
 
@@ -255,23 +280,33 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
             sg = jax.lax.stop_gradient
             # visibility is discrete: the shadow trace runs OUTSIDE the
             # gradient path (plain kernel on detached inputs)
-            st, _, _, _, _, _, smtl, _ = fused_trace_planes(
-                scene,
+            occl_q = config.shadow_test == "mtl"
+            sh_args = (
                 sg(cat([s[0] for s in sh_o])), sg(cat([s[1] for s in sh_o])),
                 sg(cat([s[2] for s in sh_o])),
                 sg(cat([s[0] for s in sh_d])), sg(cat([s[1] for s in sh_d])),
                 sg(cat([s[2] for s in sh_d])),
-                config,
-                t_bound=sg(cat([jnp.where(okl, distl, 0.0)
-                                for (okl, _, distl) in pend])),
-                target_mtl=cat([jnp.where(okl, light_mtl_f[l], -2.0)
-                                for l, (okl, _, _) in enumerate(pend)]),
-                attrs=False,   # visibility only
             )
+            sh_tb = sg(cat([jnp.where(okl, distl, 0.0)
+                            for (okl, _, distl) in pend]))
+            sh_tg = cat([jnp.where(okl, light_mtl_f[l], -2.0)
+                         for l, (okl, _, _) in enumerate(pend)])
+            if occl_q:
+                # round-5 ANY-HIT shadow walk (2 output planes; see
+                # ops/pallas_trace.py query="occlusion")
+                sbt, sseen = fused_trace_planes(
+                    scene, *sh_args, config, t_bound=sh_tb,
+                    target_mtl=sh_tg, query="occlusion",
+                )
+            else:
+                st, _, _, _, _, _, smtl, _ = fused_trace_planes(
+                    scene, *sh_args, config, t_bound=sh_tb,
+                    target_mtl=sh_tg, attrs=False,
+                )
             for l, (okl, contrib, distl) in enumerate(pend):
                 sl = slice(l * R, (l + 1) * R)
-                if config.shadow_test == "mtl":
-                    vis = smtl[sl] == light_mtl_f[l]
+                if occl_q:
+                    vis = (sseen[sl] > 0.5) & (sbt[sl] >= 0.0)
                 else:
                     occ = (smtl[sl] == -3.0) | (
                         (smtl[sl] >= 0.0) & (st[sl] < sg(distl) - 1e-3)

@@ -200,8 +200,15 @@ def _nee_geometry(scene, config, l, point, pn, wi, kd_val, ks, ns,
     direction, the pre-visibility contribution planes, the light distance,
     and the validity mask. All planar; light-table lookups are select
     chains over the K (few) light triangles."""
-    prefix = scene.lt_prefix[l]                       # (K,) +inf padded
-    K = prefix.shape[0]
+    # slice the padded tables to this light's REAL triangle count (static,
+    # Scene.lt_counts): lights are padded to the max K across lights, and
+    # without the slice a 2-triangle light in staircase pays the same
+    # (R, 480) one-hot matmul as the 480-triangle one, every iteration
+    K_pad = scene.lt_prefix.shape[1]
+    K = K_pad
+    if l < len(scene.lt_counts):
+        K = max(min(int(scene.lt_counts[l]), K_pad), 1)
+    prefix = scene.lt_prefix[l][:K]                   # (K,) +inf padded
     area = scene.light_area[l]
     if config.light_sampler == "ref":
         rnd = u_pick * scene.nee_range
@@ -214,7 +221,7 @@ def _nee_geometry(scene, config, l, point, pn, wi, kd_val, ks, ns,
         for k in range(K):
             sel = sel + (prefix[k] <= rnd).astype(jnp.int32)
         sel = jnp.minimum(sel, K - 1)
-        gat = lambda tab: chain_lookup_planes(tab[l], sel)
+        gat = lambda tab: chain_lookup_planes(tab[l][:K], sel)
         lv0, lv1, lv2 = gat(scene.lt_v0), gat(scene.lt_v1), gat(scene.lt_v2)
         ln0, ln1, ln2 = gat(scene.lt_n0), gat(scene.lt_n1), gat(scene.lt_n2)
     else:
@@ -228,8 +235,8 @@ def _nee_geometry(scene, config, l, point, pn, wi, kd_val, ks, ns,
         # selects the row exactly (products are val*1 / val*0). Measured
         # ~5 ms vs ~7.5-8.4 ms for gather variants, vs 117 ms round 2.
         tab = jnp.concatenate(
-            [scene.lt_v0[l], scene.lt_v1[l], scene.lt_v2[l],
-             scene.lt_n0[l], scene.lt_n1[l], scene.lt_n2[l]],
+            [scene.lt_v0[l][:K], scene.lt_v1[l][:K], scene.lt_v2[l][:K],
+             scene.lt_n0[l][:K], scene.lt_n1[l][:K], scene.lt_n2[l][:K]],
             axis=-1,
         )                                             # (K, 18)
         # cmp[r, k] = prefix[k] <= rnd[r] — a monotone 1...10...0 mask

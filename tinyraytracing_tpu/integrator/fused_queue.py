@@ -348,12 +348,31 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
         # shadow t-bound = the light distance: the walk prunes everything
         # beyond the light from its first node visit (pending lanes), and
         # bound 0 parks the rest outright
+        occl_q = config.shadow_test == "mtl"
         if not pend:
-            st = smtl = None
+            st = smtl = sbt = sseen = None
         elif "shadow" in _ABLATE:
             st = cat([jnp.where(okl, distl, 0.0) for (okl, _, distl) in pend])
             smtl = cat([jnp.broadcast_to(light_mtl_f[l], (R,))
                         for l in range(L)])
+            sbt, sseen = st, jnp.ones((L * R,), jnp.float32)
+        elif occl_q:
+            # round-5 ANY-HIT shadow walk: the pure occlusion query — the
+            # slot loop answers only (killed, target-seen), the kernel
+            # writes 2 planes instead of 9 (ops/pallas_trace.py)
+            sbt, sseen = fused_trace_planes(
+                scene,
+                cat([s[0] for s in sh_o]), cat([s[1] for s in sh_o]),
+                cat([s[2] for s in sh_o]),
+                cat([s[0] for s in sh_d]), cat([s[1] for s in sh_d]),
+                cat([s[2] for s in sh_d]),
+                config,
+                t_bound=cat([jnp.where(okl, distl, 0.0)
+                             for (okl, _, distl) in pend]),
+                target_mtl=cat([jnp.where(okl, light_mtl_f[l], -2.0)
+                                for l, (okl, _, _) in enumerate(pend)]),
+                query="occlusion",
+            )
         else:
             st, _, _, _, _, _, smtl, _ = fused_trace_planes(
                 scene,
@@ -372,8 +391,10 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
             )
         for l, (okl, contrib, distl) in enumerate(pend):
             sl = slice(l * R, (l + 1) * R)
-            if config.shadow_test == "mtl":
-                vis = smtl[sl] == light_mtl_f[l]     # miss -1 / killed -3 fail
+            if occl_q:
+                # reference visibility (pathTracing.cpp:55-58) decomposed:
+                # some target-material hit at the bound AND not occluded
+                vis = (sseen[sl] > 0.5) & (sbt[sl] >= 0.0)
             else:
                 occ = (smtl[sl] == -3.0) | (
                     (smtl[sl] >= 0.0) & (st[sl] < distl - 1e-3)
@@ -414,15 +435,21 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
         ray_type = jnp.where(alive_next, new_type, ray_type)
         bounce = bounce + 1
 
-        # --- finished paths scatter into the image by pixel id
+        # --- finished paths scatter into the image by pixel id. The image
+        # is carried as THREE FLAT (n_pix,) planes: a (n_pix, 3) carry gets
+        # layout {0,1:T(4,128)} inside the while loop (the 3-wide minor dim
+        # padded to 128 lanes), which turned the scatter fusion into 2.6 ms
+        # per iteration — 28% of the whole veach loop (round-5 xprof) —
+        # while the same scatter on flat planes is ~0.03 ms.
         finished = active & ~alive_next
         spix = jnp.where(finished, pix, n_pix)       # out-of-range = dropped
-        contrib = jnp.stack(
-            [jnp.where(finished, rad[k] * inv_spp, 0.0) for k in range(3)],
-            axis=-1,
-        )
         if "scatter" not in _ABLATE:
-            img = img.at[spix].add(contrib, mode="drop")
+            img = tuple(
+                img[k].at[spix].add(
+                    jnp.where(finished, rad[k] * inv_spp, 0.0), mode="drop"
+                )
+                for k in range(3)
+            )
         active = alive_next
 
         return (it + 1, counter, active, path_id, pix, bounce, o, d,
@@ -447,7 +474,8 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
             z3,                                  # radiance
             (jnp.zeros(shape, jnp.uint32),
              jnp.zeros(shape, jnp.uint32)),      # path key planes
-            jnp.zeros((n_pix, 3), jnp.float32),  # image (pixel order)
+            tuple(jnp.zeros((n_pix,), jnp.float32)
+                  for _ in range(3)),            # image planes (pixel order)
             zero,                                # per-lane ray counter
         )
 
@@ -483,7 +511,7 @@ def render_fused_queue(
         max_iters=max_iters,
     )
     state = jax.lax.while_loop(cond, body, init_state())
-    img, ray_count = state[-2], state[-1]
+    img, ray_count = jnp.stack(state[-2], axis=-1), state[-1]
     return img, jnp.sum(ray_count)
 
 
@@ -592,7 +620,7 @@ def render_fused_queue_chunked(
             last_ckpt = time.perf_counter()
     if checkpoint_path:
         ckpt.clear_queue_state(checkpoint_path)
-    img, ray_count = state[-2], state[-1]
+    img, ray_count = jnp.stack(state[-2], axis=-1), state[-1]
     return img, jnp.sum(ray_count)
 
 

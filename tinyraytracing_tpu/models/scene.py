@@ -170,6 +170,14 @@ class Scene:
     # --- static metadata ---
     mtl_names: tuple = _static()
     light_names: tuple = _static()
+    # per-light REAL triangle counts (the lt_* tables are padded to the
+    # max K across lights): static, so NEE can slice each light's tables
+    # to its true size — staircase pads its five 2-8-triangle lights to
+    # K=480, which forced all six lights through the (R, K) one-hot
+    # matmul CDF path every iteration (round 5)
+    lt_counts: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
 
     @property
     def num_triangles(self) -> int:
@@ -374,6 +382,7 @@ def assemble_scene(
         bvh=bvh_arrays,
         mtl_names=tuple(names),
         light_names=tuple(l.mtl_name for l in config.lights),
+        lt_counts=tuple(int(c) for c in counts),
     )
 
 

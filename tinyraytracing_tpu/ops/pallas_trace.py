@@ -142,6 +142,36 @@ def _slab(bx0, by0, bz0, bx1, by1, bz1, invx, invy, invz, oix, oiy, oiz,
     )
 
 
+def _slab2(bx0, by0, bz0, bx1, by1, bz1, invx, invy, invz, oix, oiy, oiz,
+           bt, tie_eps, with_entry=True):
+    """_slab + the packet's MIN entry distance (for pop-time stale culling:
+    every content hit in the box satisfies tm >= entry, so a popped node
+    whose recorded entry exceeds max(bt)*(1+tie_eps) can never update any
+    lane — skipping it is bitwise-free)."""
+    t_ax = bx0 * invx - oix
+    t_bx = bx1 * invx - oix
+    t_ay = by0 * invy - oiy
+    t_by = by1 * invy - oiy
+    t_az = bz0 * invz - oiz
+    t_bz = bz1 * invz - oiz
+    t0 = jnp.maximum(
+        jnp.maximum(jnp.minimum(t_ax, t_bx), jnp.minimum(t_ay, t_by)),
+        jnp.minimum(t_az, t_bz),
+    )
+    t1 = jnp.minimum(
+        jnp.minimum(jnp.maximum(t_ax, t_bx), jnp.maximum(t_ay, t_by)),
+        jnp.maximum(t_az, t_bz),
+    )
+    dist = jnp.where(t0 > 0.0, t0, t1)
+    mask = (t1 >= t0) & (dist > 0.0) & (
+        jnp.maximum(t0, 0.0) <= bt * (1.0 + tie_eps)
+    )
+    if not with_entry:
+        return mask, None
+    entry = jnp.min(jnp.where(mask, jnp.maximum(t0, 0.0), _INF))
+    return mask, entry
+
+
 def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
                 cnt=None, attrs=True, occl=False):
     """Best-update the carry over one leaf block's L triangle slots.
@@ -174,7 +204,16 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
     leaf_f = (leaf * SLOT).astype(jnp.float32)
 
     def run_slots_occl(carry, lo, hi):
-        bt, bs = carry
+        # EXACTLY the closest-hit loop's (bt, bmtl, bem) update dynamics
+        # with bmtl reduced to the boolean "best is the target" (bs) — so
+        # visibility is bitwise what the round-4 attrs=False walk computed
+        # (incl. the order-dependent corner cases: a near-face target hit
+        # suppressing kills from lamp internals behind it, and a wrong-but-
+        # emissive band hit blocking later target recording via bem; both
+        # flip lanes on staircase if simplified away — measured). The
+        # savings vs attrs=False are the carry (3 planes vs 9) and the
+        # kernel outputs (2 vs 9), not the slot arithmetic.
+        bt, bs, bem = carry
         ox, oy, oz, dx, dy, dz, tg = rays
         for s in range(lo, hi):
             g = lambda a: ga(a, s)
@@ -182,7 +221,7 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
             ax, ay, az, bx = g(0), g(1), g(2), g(3)
             by, bz, cx, cy = g(4), g(5), g(6), g(7)
             cz, ou, ov, ow = g(8), g(9), g(10), g(11)
-            gx, gy, gz = g(12), g(13), g(14)
+            gx, gy, gz, em = g(12), g(13), g(14), g(15)
 
             ldw = dx * cx + dy * cy + dz * cz
             low = ox * cx + oy * cy + oz * cz + ow
@@ -206,13 +245,22 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
                 & (u + v <= 1.0)
             )
             tm = jnp.where(ok, t, _INF)
-            wrong = jnp.abs(h(15) - tg) > 0.5
-            kill = (tg > -1.5) & (tm * (1.0 + tie_eps) < bt) & wrong
-            bs = jnp.where(
-                ok & ~wrong & (tm <= bt * (1.0 + tie_eps)), 1.0, bs
+            near = (
+                (tm <= bt * (1.0 + tie_eps))
+                & (bt <= tm * (1.0 + tie_eps))
+                & (tm < _INF)
             )
-            bt = jnp.where(kill, -1.0, bt)
-        return (bt, bs)
+            repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
+            mt_slot = h(15)
+            wrong = jnp.abs(mt_slot - tg) > 0.5
+            kill = (tg > -1.5) & (tm * (1.0 + tie_eps) < bt) & wrong
+            bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
+            bs = jnp.where(
+                kill, 0.0,
+                jnp.where(repl, jnp.where(wrong, 0.0, 1.0), bs),
+            )
+            bem = jnp.where(kill, 0.0, jnp.where(repl, em, bem))
+        return (bt, bs, bem)
 
     def run_slots(carry, lo, hi):
         if occl:
@@ -315,14 +363,77 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
     return carry
 
 
-def _init_carry(shp, tb):
+# Batcher odd-even merge sorting network for 8 elements (19 CEs)
+_SORT8 = ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+          (1, 2), (3, 4), (5, 6))
+
+
+def _mean_dir(dx, dy, dz):
+    """Packet mean direction (unnormalized scalars) — the NEAR-FIRST walk
+    order key basis; cheap: three cross-lane reduces once per packet."""
+    return jnp.sum(dx), jnp.sum(dy), jnp.sum(dz)
+
+
+def _interior_push(sp, stack, tstack, g, slab2f, md, ordered):
+    """Push a wide node's union-hit children (+ their packet entry t on the
+    parallel ``tstack``, consumed by pop-time stale culling); returns sp.
+
+    ``ordered`` (config.walk_order == "near"): children are pushed in
+    DESCENDING distance along the packet's mean direction (box-center
+    projection, 6 scalar FMAs per child + a 19-CE scalar sorting network),
+    so pops visit near nodes first. For coherent packets this finds
+    occluders (shadow kills) and close hits (bt shrink) sooner, pruning
+    the rest of the walk; for incoherent packets the key degenerates to
+    noise and the order is simply arbitrary — still a correct walk.
+    Default pushes reverse preorder (pops = binary walk order), which
+    keeps results bitwise-identical to the binary walk."""
+    if not ordered:
+        for c in range(7, -1, -1):       # reverse preorder push
+            meta = g(c, 6)
+            hit_c, _ = slab2f(c)
+            keep = jnp.any(hit_c) & (meta != -1.0)
+            stack[sp] = meta.astype(jnp.int32)
+            sp = sp + keep.astype(jnp.int32)
+        return sp
+    kids = []
+    for c in range(8):
+        meta = g(c, 6)
+        hit_c, ent_c = slab2f(c)
+        keep = jnp.any(hit_c) & (meta != -1.0)
+        key = ((g(c, 0) + g(c, 3)) * md[0]
+               + (g(c, 1) + g(c, 4)) * md[1]
+               + (g(c, 2) + g(c, 5)) * md[2])
+        # dropped children sort anywhere (no bump); park them far-first
+        kids.append([jnp.where(keep, key, jnp.float32(3e38)), meta, keep,
+                     ent_c])
+    for a, b in _SORT8:
+        ka, ma, pa, ea = kids[a]
+        kb, mb, pb, eb = kids[b]
+        sw = ka < kb                      # descending: far pushed first
+        kids[a] = [jnp.where(sw, kb, ka), jnp.where(sw, mb, ma),
+                   jnp.where(sw, pb, pa), jnp.where(sw, eb, ea)]
+        kids[b] = [jnp.where(sw, ka, kb), jnp.where(sw, ma, mb),
+                   jnp.where(sw, pa, pb), jnp.where(sw, ea, eb)]
+    for _, meta, keep, ent in kids:
+        stack[sp] = meta.astype(jnp.int32)
+        tstack[sp] = ent
+        sp = sp + keep.astype(jnp.int32)
+    return sp
+
+
+def _init_carry(shp, tb, occl=False):
     zero = jnp.zeros(shp, jnp.float32)
+    if occl:
+        # (bound, best-is-target, best-emissive); only the first two are
+        # kernel outputs (_write_out zips against the 2 output refs)
+        return (tb, zero, zero)
     return (tb, zero, zero, zero + 1.0, zero, zero, zero - 1.0, zero,
             zero - 1.0)
 
 
 def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
-          *, n_nodes, L, t_min, graze, tie_eps, attrs=True):
+          *, n_nodes, L, t_min, graze, tie_eps, attrs=True, occl=False):
     """BINARY skip-link packet walk; returns the best-hit carry.
 
     ``tb`` is the per-ray INITIAL best-t (t-bound): INF for closest-hit
@@ -365,20 +476,21 @@ def _walk(ox, oy, oz, dx, dy, dz, tb, tg, read_node, leaf_loader,
             anyhit & is_leaf,
             lambda c: _leaf_slots(enc >> 6, c, rays, leaf_loader, L=L,
                                   t_min=t_min, graze=graze, tie_eps=tie_eps,
-                                  cnt=enc & 63, attrs=attrs),
+                                  cnt=enc & 63, attrs=attrs, occl=occl),
             lambda c: c,
             carry,
         )
         nxt = jnp.where(anyhit & ~is_leaf, i + 1, skip)
         return (nxt,) + carry
 
-    init = (jnp.int32(0),) + _init_carry(shp, tb)
+    init = (jnp.int32(0),) + _init_carry(shp, tb, occl)
     out = jax.lax.while_loop(cond, body, init)
     return out[1:]
 
 
 def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
-               stack, *, L, t_min, graze, tie_eps, attrs=True):
+               stack, tstack, *, L, t_min, graze, tie_eps, attrs=True,
+               occl=False, ordered=False):
     """8-WIDE stack packet walk; returns the best-hit carry.
 
     ``wide_child(i)`` -> callable ``g(c, k)`` returning scalar attr k of
@@ -394,8 +506,10 @@ def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
     shp = ox.shape
     invx, invy, invz, oix, oiy, oiz = _ray_consts(ox, oy, oz, dx, dy, dz)
     rays = (ox, oy, oz, dx, dy, dz, tg)
+    md = _mean_dir(dx, dy, dz) if ordered else None
 
     stack[0] = jnp.int32(0)      # root wide node (meta >= 0 == interior)
+    tstack[0] = jnp.float32(0.0)
 
     def cond(s):
         return s[0] > 0
@@ -414,33 +528,47 @@ def _walk_wide(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, leaf_loader,
             cnt = dec & 63
             return sp, _leaf_slots(leaf, carry, rays, leaf_loader, L=L,
                                    t_min=t_min, graze=graze, tie_eps=tie_eps,
-                                   cnt=cnt, attrs=attrs)
+                                   cnt=cnt, attrs=attrs, occl=occl)
 
         def interior_case(op):
             sp, carry = op
             bt = carry[0]
             g = wide_child(m)
-            for c in range(7, -1, -1):       # reverse preorder push
-                meta = g(c, 6)
-                hit_c = _slab(g(c, 0), g(c, 1), g(c, 2),
-                              g(c, 3), g(c, 4), g(c, 5),
-                              invx, invy, invz, oix, oiy, oiz, bt, tie_eps)
-                keep = jnp.any(hit_c) & (meta != -1.0)
-                stack[sp] = meta.astype(jnp.int32)
-                sp = sp + keep.astype(jnp.int32)
+            slab2f = lambda c: _slab2(g(c, 0), g(c, 1), g(c, 2),
+                                      g(c, 3), g(c, 4), g(c, 5),
+                                      invx, invy, invz, oix, oiy, oiz, bt,
+                                      tie_eps, with_entry=ordered)
+            sp = _interior_push(sp, stack, tstack, g, slab2f, md, ordered)
             return sp, carry
 
-        sp, carry = jax.lax.cond(is_leaf, leaf_case, interior_case,
-                                 (sp, carry))
+        if ordered:
+            # pop-time stale culling (with the near order): every content
+            # hit of this node satisfies tm >= t_e, so if t_e exceeds
+            # every lane's admission bound the visit cannot update
+            # anything — skip it. MEASURED NEUTRAL-TO-NEGATIVE on the
+            # bench scenes (one INF-bt miss lane disables the cull); kept
+            # only with the experimental near order.
+            t_e = tstack[sp]
+            stale = t_e > jnp.max(carry[0]) * (1.0 + tie_eps)
+            sp, carry = jax.lax.cond(
+                stale, lambda op: op,
+                lambda op: jax.lax.cond(is_leaf, leaf_case, interior_case,
+                                        op),
+                (sp, carry),
+            )
+        else:
+            sp, carry = jax.lax.cond(is_leaf, leaf_case, interior_case,
+                                     (sp, carry))
         return (sp,) + carry
 
-    init = (jnp.int32(1),) + _init_carry(shp, tb)
+    init = (jnp.int32(1),) + _init_carry(shp, tb, occl)
     out = jax.lax.while_loop(cond, body, init)
     return out[1:]
 
 
 def _walk_wide_pf(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, ps_ref,
-                  stack, lb, sems, *, L, t_min, graze, tie_eps, attrs=True):
+                  stack, tstack, lb, sems, *, L, t_min, graze, tie_eps,
+                  attrs=True, occl=False, ordered=False):
     """_walk_wide with DOUBLE-BUFFERED leaf prefetch: sibling leaves are
     pushed together, so consecutive pops are often leaves — after
     resolving the current leaf's block, the NEXT stack top (if a leaf) is
@@ -451,8 +579,10 @@ def _walk_wide_pf(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, ps_ref,
     shp = ox.shape
     invx, invy, invz, oix, oiy, oiz = _ray_consts(ox, oy, oz, dx, dy, dz)
     rays = (ox, oy, oz, dx, dy, dz, tg)
+    md = _mean_dir(dx, dy, dz) if ordered else None
 
     stack[0] = jnp.int32(0)
+    tstack[0] = jnp.float32(0.0)
 
     def dma(leaf, buf):
         off = pl.multiple_of(jnp.maximum(leaf, 0) * 128, 128)
@@ -513,29 +643,39 @@ def _walk_wide_pf(ox, oy, oz, dx, dy, dz, tb, tg, wide_child, ps_ref,
 
             carry = _leaf_slots(leaf, carry, rays, loader, L=L,
                                 t_min=t_min, graze=graze, tie_eps=tie_eps,
-                                cnt=cnt, attrs=attrs)
+                                cnt=cnt, attrs=attrs, occl=occl)
             return (sp, pf_leaf2, pf_buf2, carry)
 
         def interior_case(op):
             sp, pf_leaf, pf_buf, carry = op
             bt = carry[0]
             g = wide_child(m)
-            for c in range(7, -1, -1):
-                meta = g(c, 6)
-                hit_c = _slab(g(c, 0), g(c, 1), g(c, 2),
-                              g(c, 3), g(c, 4), g(c, 5),
-                              invx, invy, invz, oix, oiy, oiz, bt, tie_eps)
-                keep = jnp.any(hit_c) & (meta != -1.0)
-                stack[sp] = meta.astype(jnp.int32)
-                sp = sp + keep.astype(jnp.int32)
+            slab2f = lambda c: _slab2(g(c, 0), g(c, 1), g(c, 2),
+                                      g(c, 3), g(c, 4), g(c, 5),
+                                      invx, invy, invz, oix, oiy, oiz, bt,
+                                      tie_eps, with_entry=ordered)
+            sp = _interior_push(sp, stack, tstack, g, slab2f, md, ordered)
             return (sp, pf_leaf, pf_buf, carry)
 
-        sp, pf_leaf, pf_buf, carry = jax.lax.cond(
-            is_leaf, leaf_case, interior_case, (sp, pf_leaf, pf_buf, carry)
-        )
+        if ordered:
+            t_e = tstack[sp]
+            stale = t_e > jnp.max(carry[0]) * (1.0 + tie_eps)
+            sp, pf_leaf, pf_buf, carry = jax.lax.cond(
+                stale, lambda op: op,
+                lambda op: jax.lax.cond(is_leaf, leaf_case, interior_case,
+                                        op),
+                (sp, pf_leaf, pf_buf, carry),
+            )
+        else:
+            sp, pf_leaf, pf_buf, carry = jax.lax.cond(
+                is_leaf, leaf_case, interior_case,
+                (sp, pf_leaf, pf_buf, carry),
+            )
         return (sp, pf_leaf, pf_buf) + carry
 
-    init = (jnp.int32(1), jnp.int32(-1), jnp.int32(0)) + _init_carry(shp, tb)
+    init = (jnp.int32(1), jnp.int32(-1), jnp.int32(0)) + _init_carry(
+        shp, tb, occl
+    )
     out = jax.lax.while_loop(cond, body, init)
 
     # drain a dangling prefetch (semaphores must balance)
@@ -585,8 +725,9 @@ def _tile_args(refs, r0, rows):
 
 def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                  tg_ref, box_ref, meta_ref, ps_ref,
-                 *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps, attrs):
-    outs, (scratch, sem) = rest[:N_OUT], rest[N_OUT:]
+                 *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps, attrs,
+                 occl, n_out):
+    outs, (scratch, sem) = rest[:n_out], rest[n_out:]
 
     def read_node(i):
         b = i * 8
@@ -603,7 +744,7 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
         carry = _walk(
             *args, read_node, _dma_leaf_loader(ps_ref, scratch, sem),
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
-            attrs=attrs,
+            attrs=attrs, occl=occl,
         )
         _write_out(outs, r0, rows, carry)
         return 0
@@ -614,7 +755,7 @@ def _kernel_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                      tg_ref, box_ref, meta_ref, ps_ref,
                      *outs, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps, attrs,
-                     ps_cols):
+                     occl, n_out, ps_cols):
     # small scenes: node tables AND the whole leaf payload in SMEM — leaf
     # visits are pure scalar loads, no per-visit DMA at all
     def read_node(i):
@@ -634,7 +775,7 @@ def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
         carry = _walk(
             *args, read_node, loader,
             n_nodes=n_nodes, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
-            attrs=attrs,
+            attrs=attrs, occl=occl,
         )
         _write_out(outs, r0, rows, carry)
         return 0
@@ -644,8 +785,9 @@ def _kernel_smem_all(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
 
 def _kernel_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tb_ref,
                 tg_ref, node_ref, ps_ref,
-                *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps, attrs):
-    outs, (scratch, nscratch, sem, nsem) = rest[:N_OUT], rest[N_OUT:]
+                *rest, n_nodes, n_tiles, rows, L, t_min, graze, tie_eps, attrs,
+                occl, n_out):
+    outs, (scratch, nscratch, sem, nsem) = rest[:n_out], rest[n_out:]
 
     # node_ref is (ceil(N/16), 128): 16 nodes of 8 f32 per 128-lane row
     # (HBM slices must be 128-lane aligned, so single-record DMAs are out);
@@ -683,9 +825,10 @@ _NO_PREFETCH = _os.environ.get("TRT_NO_PREFETCH") == "1"  # A/B switch
 
 def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tb_ref, tg_ref, wn_ref, ps_ref,
-                      *rest, n_tiles, rows, L, t_min, graze, tie_eps, attrs):
+                      *rest, n_tiles, rows, L, t_min, graze, tie_eps, attrs,
+                      occl, n_out, ordered=False):
     # wn_ref: flat SMEM f32, wide node i child c attr k at i*128 + c*8 + k
-    outs, (lb, stack, sems) = rest[:N_OUT], rest[N_OUT:]
+    outs, (lb, stack, tstack, sems) = rest[:n_out], rest[n_out:]
 
     def wide_child(i):
         base = jnp.maximum(i, 0) * 128
@@ -701,13 +844,14 @@ def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             carry = _walk_wide(
                 *args, wide_child,
                 _dma_leaf_loader(ps_ref, lb.at[0], sems.at[0]),
-                stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
-                attrs=attrs,
+                stack, tstack, L=L, t_min=t_min, graze=graze,
+                tie_eps=tie_eps, attrs=attrs, occl=occl, ordered=ordered,
             )
         else:
             carry = _walk_wide_pf(
-                *args, wide_child, ps_ref, stack, lb, sems,
+                *args, wide_child, ps_ref, stack, tstack, lb, sems,
                 L=L, t_min=t_min, graze=graze, tie_eps=tie_eps, attrs=attrs,
+                occl=occl, ordered=ordered,
             )
         _write_out(outs, r0, rows, carry)
         return 0
@@ -717,9 +861,10 @@ def _kernel_wide_smem(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 def _kernel_wide_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      tb_ref, tg_ref, wn_ref, ps_ref,
-                     *rest, n_tiles, rows, L, t_min, graze, tie_eps, attrs):
+                     *rest, n_tiles, rows, L, t_min, graze, tie_eps, attrs,
+                     occl, n_out, ordered=False):
     # wn_ref: (n_wide, 128) in ANY/HBM; one row DMA per interior visit
-    outs, (lb, wscratch, stack, sems, wsem) = rest[:N_OUT], rest[N_OUT:]
+    outs, (lb, wscratch, stack, tstack, sems, wsem) = rest[:n_out], rest[n_out:]
 
     def wide_child(i):
         dma = pltpu.make_async_copy(wn_ref.at[jnp.maximum(i, 0)], wscratch,
@@ -738,13 +883,14 @@ def _kernel_wide_hbm(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             carry = _walk_wide(
                 *args, wide_child,
                 _dma_leaf_loader(ps_ref, lb.at[0], sems.at[0]),
-                stack, L=L, t_min=t_min, graze=graze, tie_eps=tie_eps,
-                attrs=attrs,
+                stack, tstack, L=L, t_min=t_min, graze=graze,
+                tie_eps=tie_eps, attrs=attrs, occl=occl, ordered=ordered,
             )
         else:
             carry = _walk_wide_pf(
-                *args, wide_child, ps_ref, stack, lb, sems,
+                *args, wide_child, ps_ref, stack, tstack, lb, sems,
                 L=L, t_min=t_min, graze=graze, tie_eps=tie_eps, attrs=attrs,
+                occl=occl, ordered=ordered,
             )
         _write_out(outs, r0, rows, carry)
         return 0
@@ -807,12 +953,13 @@ def _fused_trace_reference(scene: Scene, ox, oy, oz, dx, dy, dz, tb, tg,
 
 @functools.partial(
     jax.jit, static_argnames=("config", "force_kernel", "return_tri",
-                              "attrs")
+                              "attrs", "query")
 )
 def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
                        config: RenderConfig, force_kernel: bool = False,
                        t_bound=None, target_mtl=None,
-                       return_tri: bool = False, attrs: bool = True):
+                       return_tri: bool = False, attrs: bool = True,
+                       query: str = "closest"):
     """Fused closest-hit + shading-attribute trace.
 
     Planar in, planar out: six (R,) ray component planes -> a tuple of
@@ -840,10 +987,22 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     Walk selection: config.bvh_walk ("wide" 8-wide stack walk, "binary"
     skip-link cursor walk — see module docstring).
 
+    ``query="occlusion"`` (round 5, the ANY-HIT shadow walk): the pure
+    visibility query — returns just TWO planes (bt, seen): bt < 0 means a
+    wrong-material hit strictly inside the band occluded the lane (the
+    early-kill), seen > 0.5 means some target-material hit within the tie
+    band of the bound exists. Reference visibility (pathTracing.cpp:55-58)
+    is ``(seen > 0.5) & (bt >= 0)`` — the exact decomposition of the
+    closest-hit material test under the planar/closed-light argument
+    (_walk docstring). The slot loop loses the whole closest-hit carry
+    (no best-t/tie-break/attribute updates) and the kernel writes 2
+    output planes instead of 9. ``attrs``/``return_tri`` are ignored.
+
     On CPU backends dispatches to the pure-JAX reference path unless
     ``force_kernel`` (tests) — Pallas interpret mode re-interprets the walk
     per call, minutes per invocation.
     """
+    occl = query == "occlusion"
     if t_bound is None:
         t_bound = jnp.full_like(ox, _INF)
     if target_mtl is None:
@@ -851,14 +1010,29 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     if jax.default_backend() == "cpu" and not force_kernel:
         out = _fused_trace_reference(scene, ox, oy, oz, dx, dy, dz,
                                      t_bound, target_mtl, config)
+        if occl:
+            # order-free emulation: killed = closest-hit wrong-material
+            # strictly inside; seen = final material == target (the
+            # intersector's emissive tie-break already prefers the light
+            # among band ties, matching the kernel's any-target-hit flag)
+            killed = out[6] == -3.0
+            seen = (out[6] >= 0.0) & (jnp.abs(out[6] - target_mtl) <= 0.5)
+            return (jnp.where(killed, -1.0, t_bound),
+                    seen.astype(jnp.float32))
         return out if return_tri else out[:8]
     pk = scene.bvh.packed
     R = ox.shape[0]
 
     have_wide = getattr(pk, "WN", None) is not None and pk.n_wide > 0
+    # walk pick: wide for big trees (round 4 — binary's SMEM node loads
+    # win small trees on closest-hit), but OCCLUSION queries prefer wide
+    # even on small trees (t-bounded + early-killed lanes make visits the
+    # dominant cost; measured veach shadow dispatch binary->wide took the
+    # full render 18.4 -> 20.4 Mrays/s, results bitwise-equal)
     use_wide = have_wide and (
         config.bvh_walk == "wide"
-        or (config.bvh_walk == "auto" and pk.n_nodes > SMEM_NODE_LIMIT)
+        or (config.bvh_walk == "auto"
+            and (pk.n_nodes > SMEM_NODE_LIMIT or occl))
     )
     # per-scene packet size (see RAY_TILE comment at the top)
     if config.ray_tile:
@@ -885,10 +1059,11 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
 
     planes = [c.reshape(-1, 128) for c in comps]
 
+    n_out = 2 if occl else N_OUT
     common = dict(
         n_tiles=tiles_per_super, rows=tile // 128, L=pk.leaf_size,
         t_min=config.t_min, graze=config.n_dot_d_min, tie_eps=config.tie_eps,
-        attrs=attrs,
+        attrs=attrs, occl=occl, n_out=n_out,
     )
     ray_spec = pl.BlockSpec(
         (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -896,7 +1071,7 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
     out_spec = pl.BlockSpec(
         (rows_per_super, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = [jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32)] * N_OUT
+    out_shape = [jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32)] * n_out
 
     if use_wide:
         # stack bound: every interior visit pops 1 and pushes <= 8, so the
@@ -904,8 +1079,10 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
         # conditional-bump writes
         stack_size = max(64, pk.wide_depth * 7 + 16)
         stack_scratch = pltpu.SMEM((stack_size,), jnp.int32)
+        ordered = config.walk_order == "near"
         if pk.n_wide <= SMEM_WIDE_LIMIT:
-            kern = functools.partial(_kernel_wide_smem, **common)
+            kern = functools.partial(_kernel_wide_smem, **common,
+                                     ordered=ordered)
             extra_in = [
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # wide nodes, flat
                 pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
@@ -914,10 +1091,12 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
             scratch = [
                 pltpu.SMEM((2, 8, 128), jnp.float32),    # leaf double buffer
                 stack_scratch,
+                pltpu.SMEM((stack_size,), jnp.float32),  # entry-t stack
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
-            kern = functools.partial(_kernel_wide_hbm, **common)
+            kern = functools.partial(_kernel_wide_hbm, **common,
+                                     ordered=ordered)
             extra_in = [
                 pl.BlockSpec(memory_space=pl.ANY),       # wide node rows
                 pl.BlockSpec(memory_space=pl.ANY),       # PS leaf payload
@@ -927,6 +1106,7 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
                 pltpu.SMEM((2, 8, 128), jnp.float32),    # leaf double buffer
                 pltpu.SMEM((128,), jnp.float32),
                 stack_scratch,
+                pltpu.SMEM((stack_size,), jnp.float32),  # entry-t stack
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ]
@@ -985,13 +1165,15 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
         grid=(n_super,),
         interpret=jax.default_backend() == "cpu",    # tests run on CPU
         in_specs=[ray_spec] * 8 + extra_in,
-        out_specs=[out_spec] * N_OUT,
+        out_specs=[out_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=scratch,
     )(*planes, *extra_args)
 
     flat = lambda x: x.reshape(-1)[:R]
     outs = tuple(flat(o) for o in outs)
+    if occl:
+        return outs
     if not return_tri:
         return outs[:8]
     slot = outs[8]

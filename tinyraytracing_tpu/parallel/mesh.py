@@ -459,6 +459,8 @@ def render_queue_sharded_chunked(
             last_ckpt = time.perf_counter()
     if checkpoint_path and not preempted:
         ckpt.clear_queue_state(checkpoint_path)
-    img = jnp.sum(state[-2], axis=0).reshape(H, W, 3)
+    img = jnp.stack(
+        [jnp.sum(pl, axis=0) for pl in state[-2]], axis=-1
+    ).reshape(H, W, 3)
     rays = jnp.sum(state[-1])
     return img, rays

@@ -28,7 +28,7 @@ from tinyraytracing_tpu.render import render_pass
 # snapshots are then rejected by the meta check instead of silently
 # rebinding leaves to wrong slots (the treedef signature in the meta
 # catches same-version shape changes too)
-QUEUE_STATE_VERSION = 2
+QUEUE_STATE_VERSION = 3   # v3: image carried as 3 flat planes (round 5)
 
 
 def scene_checksum(scene) -> float:
