@@ -226,3 +226,37 @@ def test_queue_sharded_chunked_matches_one_shot():
     assert proc.returncode == 0 and "CHUNKED-SHARDED-OK" in proc.stdout, (
         proc.stdout + "\n" + proc.stderr
     )
+
+
+def test_fast_grad_path_sharded_matches_single_device(scene_cam_bvh):
+    """render_loss_fast_sharded (round 5): the custom-VJP fused gradient
+    path under shard_map — loss AND parameter gradients must match the
+    single-device render_loss_fast (pixel values are partition-independent
+    via path-indexed RNG; only reduction order differs)."""
+    import jax.numpy as jnp
+
+    from tinyraytracing_tpu.diff.fast import render_loss_fast
+    from tinyraytracing_tpu.diff.inverse import SceneParams
+    from tinyraytracing_tpu.parallel.mesh import render_loss_fast_sharded
+
+    scene, cam = scene_cam_bvh
+    cfg = RenderConfig(intersector="bvh", max_depth=2, ray_chunk=1024)
+    key = jax.random.PRNGKey(7)
+    target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+    params = SceneParams.init_from(scene, cam, "kd", "vertex_offset", "eye")
+    mesh = make_mesh(n_tile=8, n_spp=1)
+
+    loss1, g1 = jax.value_and_grad(
+        lambda p: render_loss_fast(p, scene, cam, key, target, cfg, 2)
+    )(params)
+    loss8, g8 = jax.value_and_grad(
+        lambda p: render_loss_fast_sharded(p, scene, cam, key, target, cfg,
+                                           2, mesh)
+    )(params)
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
+    assert float(sum(jnp.abs(x).sum()
+                     for x in jax.tree_util.tree_leaves(g8))) > 0

@@ -176,7 +176,8 @@ fused_trace_diff.defvjp(_ftd_fwd, _ftd_bwd)
 
 
 def render_diff(scene, cam, key, config: RenderConfig, spp: int,
-                return_rays: bool = False):
+                return_rays: bool = False, pix_lo=0,
+                n_pix_local: int | None = None):
     """Fixed-depth differentiable render on the FAST (fused-kernel) path.
 
     Returns the (H, W, 3) linear mean image (with ``return_rays`` also the
@@ -185,12 +186,20 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
     it). Estimator semantics = integrator/wavefront.trace; RNG is
     path-indexed planar threefry (path = pixel*spp + sample), so the image
     is deterministic and scheduling-independent.
+
+    ``pix_lo`` (may be traced — a shard offset) and ``n_pix_local``
+    (static) select a contiguous pixel slice for tile-sharded multi-chip
+    differentiation (parallel/mesh.render_loss_fast_sharded): the return
+    is then the flat (n_pix_local, 3) slice instead of (H, W, 3). The
+    path-indexed RNG makes every pixel's value independent of the
+    partitioning.
     """
     config = config.replace(trace_super_rays=min(config.trace_super_rays,
                                                  65536))
     W, H = cam.width, cam.height
     n_pix = W * H
-    R = n_pix
+    sliced = n_pix_local is not None
+    R = n_pix_local if sliced else n_pix
     shape = (R,)
     L = scene.light_mtl.shape[0]
     light_mtl_f = [scene.light_mtl[l].astype(jnp.float32) for l in range(L)]
@@ -200,7 +209,7 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
     horizontal = tuple(horizontal[k] for k in range(3))
     vertical = tuple(vertical[k] for k in range(3))
     llc = tuple(llc[k] for k in range(3))
-    pix = jnp.arange(R, dtype=jnp.int32)
+    pix = jnp.minimum(pix_lo + jnp.arange(R, dtype=jnp.int32), n_pix - 1)
     far3 = vec.splat(jnp.asarray([1e30, 1e30, 1e30]), shape)
     up = vec.splat(jnp.asarray([0.0, 0.0, 1.0]), shape)
     detach = jax.lax.stop_gradient if config.detach_sampling else (lambda x: x)
@@ -357,7 +366,9 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
 
     acc0 = (jnp.zeros((R, 3), jnp.float32), jnp.float32(0.0))
     (img, rays), _ = jax.lax.scan(spp_body, acc0, jnp.arange(spp))
-    img = (img / spp).reshape(H, W, 3)
+    img = img / spp
+    if not sliced:
+        img = img.reshape(H, W, 3)
     if return_rays:
         return img, rays
     return img

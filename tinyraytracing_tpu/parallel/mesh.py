@@ -240,6 +240,62 @@ def render_queue_sharded(
 
 
 # ---------------------------------------------------------------------------
+# sharded FAST GRADIENT path (custom-VJP fused trace, diff/fast.py)
+# ---------------------------------------------------------------------------
+
+def render_loss_fast_sharded(params, scene, cam, key, target,
+                             config: RenderConfig, spp: int,
+                             mesh: Mesh | None = None):
+    """Tile-sharded fast-path MSE loss: device i renders+differentiates
+    pixels [i*per, (i+1)*per) through diff/fast.render_diff (the custom-
+    VJP fused trace) against the replicated scene, and the squared-error
+    partial sums are ``psum``'d INSIDE the mapped body — so under
+    ``jax.grad`` the parameter gradients are all-reduced inside the same
+    program, exactly where XLA's scheduler overlaps the collective with
+    the remaining backward on real multi-chip hardware (BASELINE.json
+    north star P3). Numerically equals the single-device
+    ``diff.fast.render_loss_fast`` (pixel values are partition-
+    independent via the path-indexed RNG; only the reduction order of the
+    scalar loss differs).
+    """
+    from jax import shard_map
+
+    from tinyraytracing_tpu.diff.fast import render_diff
+    from tinyraytracing_tpu.diff.inverse import apply_params
+
+    if mesh is None:
+        mesh = make_mesh()
+    W, H = cam.width, cam.height
+    n_pix = W * H
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("tile",))
+    D = flat_mesh.devices.size
+    per = -(-n_pix // D)
+    tgt = target.reshape(n_pix, 3)
+    pad = D * per - n_pix
+    if pad:
+        tgt = jnp.pad(tgt, ((0, pad), (0, 0)))
+
+    def body(params, scene, cam, key, tgt_slice):
+        i = jax.lax.axis_index("tile")
+        s2, c2 = apply_params(scene, cam, params)
+        img = render_diff(s2, c2, key, config, spp,
+                          pix_lo=i * per, n_pix_local=per)
+        idx = i * per + jnp.arange(per, dtype=jnp.int32)
+        w = (idx < n_pix).astype(jnp.float32)[:, None]   # drop pad pixels
+        err = jnp.sum(((img - tgt_slice) ** 2) * w)
+        return jax.lax.psum(err, "tile") / (n_pix * 3)
+
+    fn = shard_map(
+        body,
+        mesh=flat_mesh,
+        in_specs=(P(), P(), P(), P(), P("tile")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, scene, cam, key, tgt)
+
+
+# ---------------------------------------------------------------------------
 # sharded CHUNKED queue driver (the path real hardware runs)
 # ---------------------------------------------------------------------------
 
