@@ -15,25 +15,41 @@ integrand on the two sides (edge-sampling estimator of Li et al. 2018,
 "Differentiable Monte Carlo Ray Tracing through Edge Sampling" — public
 method, independent implementation).
 
-This module implements the SMALLEST HONEST version of that estimator:
+Round 5 promotes the round-4 prototype to an OPT-IN estimator on the fast
+path — ``diff.fast.render_loss_fast(edge_samples=N,
+shadow_edge_samples=M, edge_aux=build_edge_aux(scene))``:
 
-- PRIMARY (camera) visibility only: C = the projection of given 3-D
-  silhouette edges through the pinhole camera; no secondary/shadow edges.
-- the silhouette edge set is the mesh's BOUNDARY edges (edges used by
-  exactly one triangle, ``boundary_edges``) — correct for open occluders
-  like the test's floating quad; closed meshes would need view-dependent
-  silhouette detection (front/back-facing triangle pairs), not done here.
-- G is evaluated by casting one detached radiance ray per side (±δ in
-  image space); the pixel-filter is treated as a box of area 1 px.
+- PRIMARY visibility: C = projected silhouette edges through the pinhole
+  camera. The edge set is the whole mesh (``mesh_edges`` adjacency) with
+  a view-dependent runtime mask (``silhouette_mask``): boundary edges
+  always qualify; interior edges qualify when their faces straddle the
+  eye — CLOSED meshes included (round-4 covered boundary edges only).
+- SECONDARY (shadow-silhouette) visibility: ``shadow_edge_surrogate``
+  samples (camera-visible shading point, edge point) pairs and
+  accumulates the NEE direct term's boundary contribution in the plane
+  of a PLANAR light (all reference scenes' lights).
+- G / f are evaluated with DETACHED radiance/shadow rays ±δ across the
+  boundary; the pixel filter is a box of area 1 px.
 
-The estimator returns a SURROGATE scalar whose jax.grad equals the
-boundary term: each sample contributes len_img · (G⁻ − G⁺)_detached ·
-(n̂_detached · p_img(θ)), so differentiation recovers (n̂·v). Add its
-gradient to the interior-term gradient (diff/fast.py / diff/inverse.py).
+The estimators return SURROGATE scalars whose jax.grad equals the
+boundary term: each sample contributes len · (G⁻ − G⁺)_detached ·
+(n̂_detached · curve_point(θ)), so differentiation recovers (n̂·v).
+render_loss_fast adds them value-neutrally (x − stop_gradient(x)).
 
-Validated in tests/test_diff_edge.py: a 2-triangle occluder over an
-emissive floor, MSE loss against a shifted target — interior AD gives
-~0 while interior+edge matches finite differences.
+Remaining limits (documented per round-4 verdict ask 5): boundary terms
+are single-scattering (camera or first-hit NEE — discontinuities seen
+through additional bounces are not sampled); the shadow integrand uses
+the constant-Kd diffuse lobe; uniform edge sampling scales to the tested
+scene sizes (thousands of edges), not production meshes — importance
+sampling of the silhouette subset is the known next step.
+
+Validated in tests/test_diff_edge.py against central finite differences:
+(1) open occluder over an emissive floor (round 4), (2) CLOSED cube
+occluder through the integrated render_loss_fast(edge_samples=N), and
+(3) a shadow-silhouette-dominated loss (occluder outside the camera
+frustum, derivative entirely in the cast shadow) through
+render_loss_fast(shadow_edge_samples=M) — interior AD reports ~0 in all
+three; interior+edge matches FD.
 """
 
 from __future__ import annotations

@@ -375,12 +375,52 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
 
 
 def render_loss_fast(params, scene, cam, key, target, config: RenderConfig,
-                     spp: int):
+                     spp: int, edge_samples: int = 0,
+                     shadow_edge_samples: int = 0, edge_aux=None,
+                     edge_delta: float = 0.1, shadow_light: int = 0):
     """MSE pixel loss through the FAST differentiable path: apply_params
     (BVH refit under vertex offsets) + render_diff (custom-VJP fused
-    trace). The fast-path counterpart of diff.inverse.render_loss."""
+    trace). The fast-path counterpart of diff.inverse.render_loss.
+
+    EDGE-SAMPLED BOUNDARY TERMS (opt-in, round 5 — diff/edge.py): the
+    interior-term replay above differentiates with the hit set fixed, so
+    losses dominated by moving silhouettes or shadow boundaries get ~zero
+    gradients. With ``edge_samples > 0`` the loss's GRADIENT additionally
+    carries the primary-visibility boundary term (view-dependent
+    silhouettes, closed meshes included); with ``shadow_edge_samples > 0``
+    the secondary (shadow-silhouette) term for camera-visible shading
+    points under planar light ``shadow_light``. The surrogate terms are
+    value-neutral (x - stop_gradient(x)), so the returned LOSS value is
+    unchanged — only jax.grad sees the boundary contributions.
+
+    ``edge_aux``: precomputed ``diff.edge.build_edge_aux(scene)`` — build
+    it once OUTSIDE jit (edge topology needs concrete vertex data).
+    Limits (FD-validated at the scales in tests/test_diff_edge.py):
+    single-scattering boundary terms only; shadow term uses the constant-
+    Kd diffuse integrand on planar lights.
+    """
     from tinyraytracing_tpu.diff.inverse import apply_params
 
     s2, c2 = apply_params(scene, cam, params)
     img = render_diff(s2, c2, key, config, spp)
-    return jnp.mean((img - target) ** 2)
+    loss = jnp.mean((img - target) ** 2)
+    if edge_samples or shadow_edge_samples:
+        from tinyraytracing_tpu.diff import edge as _edge
+
+        if edge_aux is None:
+            edge_aux = _edge.build_edge_aux(scene)   # needs concrete scene
+        sg = jax.lax.stop_gradient
+        if edge_samples:
+            sur = _edge.primary_edge_surrogate(
+                s2, c2, config, target, jax.random.fold_in(key, 101),
+                edge_aux, edge_samples, edge_delta, spp=1,
+            )
+            loss = loss + (sur - sg(sur))
+        if shadow_edge_samples:
+            sur2 = _edge.shadow_edge_surrogate(
+                s2, c2, config, target, sg(img),
+                jax.random.fold_in(key, 102), edge_aux,
+                shadow_edge_samples, light=shadow_light,
+            )
+            loss = loss + (sur2 - sg(sur2))
+    return loss
