@@ -92,7 +92,9 @@ else:
                             f"{SC}/{name}/{name}.mtl", f"{SC}/{name}",
                             with_bvh=True, leaf_size=leaf)
 cfg = RenderConfig(intersector="auto", max_depth=16, leaf_size=leaf,
-                   walk_order=os.environ.get("AB_ORDER", "preorder"))
+                   walk_order=os.environ.get("AB_ORDER", "preorder"),
+                   ray_tile=int(os.environ.get("AB_TILE", 0) or 0),
+                   morton_cells=int(os.environ.get("AB_MCELLS", 32)))
 key = jax.random.PRNGKey(0)
 
 img, rays = render_fused_queue_chunked(scene, cam, key, cfg, spp, lanes=lanes,

@@ -26,7 +26,7 @@ from tinyraytracing_tpu.models.procedural import quad_grid
 from tinyraytracing_tpu.ops.bvh import attach_bvh
 
 SPP = int(os.environ.get("BENCH_SPP", 4))
-LEAF = int(os.environ.get("BENCH_LEAF", 32))  # 32: ~1.4x over ref leaf 8 at scale
+LEAF = int(os.environ.get("BENCH_LEAF", 8))  # round-5 grid sweep: leaf 8 beats 16/32 on flat quad fields (slot-group work ~2.8x lower; grid100K 0.79 -> 0.99 Mrays/s with the auto 2048 packet)
 LANES = int(os.environ.get("BENCH_LANES", 262144))
 RENDERER = os.environ.get("BENCH_RENDERER", "queue")
 def _queue_chunked(scene, cam, key, cfg, spp, lanes):

@@ -1034,11 +1034,15 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
         or (config.bvh_walk == "auto"
             and (pk.n_nodes > SMEM_NODE_LIMIT or occl))
     )
-    # per-scene packet size (see RAY_TILE comment at the top)
+    # per-scene packet size (see RAY_TILE comment at the top). Round-5
+    # grid sweep: with narrow leaves (<= 8 slots — the measured winner on
+    # flat many-leaf scenes, slot-group work drops ~2.8x) the per-visit
+    # cost shrinks enough that 2048-ray packets amortize the scalar walk
+    # better than 1024 (grid100K 0.92 -> 0.99 Mrays/s).
     if config.ray_tile:
         tile = config.ray_tile
     elif use_wide and pk.n_wide > WIDE_TILE_LIMIT:
-        tile = RAY_TILE_BIG
+        tile = 2048 if pk.leaf_size <= 8 else RAY_TILE_BIG
     else:
         tile = RAY_TILE
     # ray tiles per grid step (config.trace_super_rays bounds the
