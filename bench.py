@@ -18,8 +18,9 @@ baselines/cpu_reference.cc, run on this machine's 2 cores — the reference
 itself publishes no numbers).
 
 Env knobs: BENCH_SCENES="cornell veach staircase" subset, BENCH_SPP,
-BENCH_LANES, BENCH_LEAF (big-scene BVH leaf width, default 32 — measured
-1.4x over the reference's 8 on staircase; estimator-independent).
+BENCH_LANES, BENCH_LANES_QUEUE, BENCH_LEAF (big-scene BVH leaf width
+override; per-scene defaults veach 32 / staircase 16 — estimator-
+independent, round-5 sweep), BENCH_GRAD=0 to skip the gradient section.
 
 FAILURE-HONEST AGGREGATION: a scene that errors contributes rays_per_s=0
 to the headline geomean (zeroing it) rather than being dropped — a
@@ -85,7 +86,14 @@ def main():
         "veach-mis": int(qlanes_env or 65536),
         "staircase": int(qlanes_env or 131072),
     }
-    leaf = int(os.environ.get("BENCH_LEAF", 32))
+    # per-scene BVH leaf width (estimator-independent): the round-5
+    # occlusion shadow walk flipped staircase's tradeoff to 16 (6.2 ->
+    # 6.8 Mrays/s); veach stays at 32 (19.8 vs 19.3 at 16)
+    leaf_env = os.environ.get("BENCH_LEAF")
+    leaves = {
+        "veach-mis": int(leaf_env or 32),
+        "staircase": int(leaf_env or 16),
+    }
     key = jax.random.PRNGKey(0)
     results = {}
 
@@ -104,16 +112,18 @@ def main():
         except Exception as e:                       # pragma: no cover
             results["cornell512"] = dict(rays_per_s=0.0, error=str(e)[:120])
 
-    cfg_big = RenderConfig(intersector="auto", max_depth=16, leaf_size=leaf)
     for name, tag in (("veach-mis", "veach"), ("staircase", "staircase")):
         if tag not in which and name not in which:
             continue
         try:
+            cfg_big = RenderConfig(intersector="auto", max_depth=16,
+                                   leaf_size=leaves[name])
             scene, cam = load_scene(
                 f"{SCENES_DIR}/{name}/{name}.xml",
                 f"{SCENES_DIR}/{name}/{name}.obj",
                 f"{SCENES_DIR}/{name}/{name}.mtl",
-                f"{SCENES_DIR}/{name}", with_bvh=True, leaf_size=leaf,
+                f"{SCENES_DIR}/{name}", with_bvh=True,
+                leaf_size=leaves[name],
             )
             rps, mean = _bench(
                 render_fused_queue_chunked, scene, cam, key, cfg_big, spp,
