@@ -15,7 +15,8 @@ resort = int(os.environ.get("SW_RESORT", -1))
 rkey = os.environ.get("SW_RKEY", "path")
 tile = int(os.environ.get("SW_TILE", 0))
 mcells = int(os.environ.get("SW_MCELLS", 32))
-cfg = RenderConfig(intersector="auto", max_depth=16, leaf_size=leaf, queue_resort_every=resort, queue_resort_key=rkey, ray_tile=tile, morton_cells=mcells)
+worder = os.environ.get("SW_ORDER", "pre")
+cfg = RenderConfig(intersector="auto", max_depth=16, leaf_size=leaf, queue_resort_every=resort, queue_resort_key=rkey, ray_tile=tile, morton_cells=mcells, walk_order=worder)
 key = jax.random.PRNGKey(0)
 img, rays = render_fused_queue_chunked(scene, cam, key, cfg, 8, lanes=lanes, target_chunk_s=10.0)
 jax.block_until_ready(img)

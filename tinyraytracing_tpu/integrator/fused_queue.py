@@ -139,15 +139,20 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
     n_wide = (scene.bvh.packed.n_wide
               if scene.bvh is not None and scene.bvh.packed is not None
               else 0)
-    if resort_every < 0:   # auto (config.py rationale + round-4 sweeps)
+    if resort_every < 0:   # auto (config.py rationale + round-4/5 sweeps)
         resort_every = 0
         if scene.num_triangles >= 10_000:
             # morton-origin packets beat path-order everywhere at the
-            # right cadence: staircase 5.79 -> 5.95 (every 2), grid100K
-            # 0.59 -> 0.81 and grid1M 0.18 -> 0.24 (every 1 — flat
-            # many-leaf scenes churn origins fastest)
+            # right cadence. With the one-sort resort (round 5: the
+            # multi-operand lax.sort replaced argsort + 18 gathers, ~22 ms
+            # -> ~1 ms per resort at 131K lanes) the sweet spot moved to
+            # EVERY iteration on walk-bound trees: staircase 6.83 -> 7.56
+            # (cheap sort, every 2) -> 8.14 (every 1); grids already ran
+            # every 1. veach-class small trees still prefer every 2
+            # (22.31 vs 21.93 — the walk is cheap enough that resort
+            # freshness buys less than it costs).
             resort_key = "morton"
-            resort_every = 1 if n_wide > 1024 else 2
+            resort_every = 1 if n_wide > 512 else 2
     # scene AABB for the morton resort key (static, from the root node)
     if scene.bvh is not None:
         aabb_lo = jax.lax.stop_gradient(scene.bvh.nmin[0])
@@ -247,12 +252,21 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
                 else:
                     key_ = path_id
                 key_ = jnp.where(active, key_, jnp.int32(2**31 - 1))
-                perm = jnp.argsort(key_, stable=True)
-                g = lambda x: x[perm]
-                g3 = lambda v: (v[0][perm], v[1][perm], v[2][perm])
-                return (g(active), g(path_id), g(pix), g(bounce), g3(o),
-                        g3(d), g(ray_type), g3(thr), g3(rad),
-                        (g(pkd[0]), g(pkd[1])), g(ray_count))
+                # ONE multi-operand stable sort moves every state plane
+                # with the key — argsort + 18 permutation gathers measured
+                # ~22 ms per resort at 131K lanes on v5e (random-index
+                # gathers are ~1.3 ms each), the same permutation as
+                # sort payloads ~1 ms total. Order identical to the old
+                # stable argsort (ties keep lane order).
+                planes = (key_, active, path_id, pix, bounce,
+                          o[0], o[1], o[2], d[0], d[1], d[2], ray_type,
+                          thr[0], thr[1], thr[2], rad[0], rad[1], rad[2],
+                          pkd[0], pkd[1], ray_count)
+                s = jax.lax.sort(planes, dimension=0, is_stable=True,
+                                 num_keys=1)
+                return (s[1], s[2], s[3], s[4], (s[5], s[6], s[7]),
+                        (s[8], s[9], s[10]), s[11], (s[12], s[13], s[14]),
+                        (s[15], s[16], s[17]), (s[18], s[19]), s[20])
 
             args = (active, path_id, pix, bounce, o, d, ray_type, thr,
                     rad, pkd, ray_count)
