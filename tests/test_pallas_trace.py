@@ -561,3 +561,29 @@ def test_nee_mxu_onehot_row_select_exact(rng):
         precision=jax.lax.Precision.HIGHEST,
     )
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_fused_queue_shadow_compact_bitwise():
+    """Shadow-lane compaction (config.shadow_compact) is a pure
+    permutation: live lanes are packed to each light segment's front for
+    the occlusion dispatch and inverse-sorted after, and per-lane results
+    are packet-membership-invariant — the image must be BITWISE the
+    uncompacted renderer's. veach-mis (3 lights) exercises the (L, R)
+    segment reshapes nontrivially."""
+    import dataclasses
+
+    from tinyraytracing_tpu.integrator.fused_queue import render_fused_queue_jit
+    from tinyraytracing_tpu.models.scene import load_scene
+    from tests.conftest import SCENES
+
+    base = f"{SCENES}/veach-mis"
+    scene, cam = load_scene(f"{base}/veach-mis.xml", f"{base}/veach-mis.obj",
+                            f"{base}/veach-mis.mtl", base, with_bvh=True)
+    cam = dataclasses.replace(cam, width=16, height=16)
+    key = jax.random.PRNGKey(5)
+    cfg = RenderConfig(intersector="bvh", max_depth=4, shadow_test="mtl")
+    off = np.asarray(render_fused_queue_jit(
+        scene, cam, key, cfg.replace(shadow_compact="off"), 2, lanes=256))
+    on = np.asarray(render_fused_queue_jit(
+        scene, cam, key, cfg.replace(shadow_compact="on"), 2, lanes=256))
+    np.testing.assert_array_equal(on, off)

@@ -114,6 +114,22 @@ class RenderConfig:
     # fixed 8-arity wastes ~45% of its box tests on empty slots there
     # while SMEM-resident binary visits are already overhead-free).
     bvh_walk: str = "auto"         # auto | wide | binary
+    # compact live shadow lanes to the front of each light's segment
+    # before the occlusion dispatch (fused_queue). ~35-40% of shadow
+    # lanes are zero-contribution parked (measured: staircase 63% live,
+    # veach 61% — benchmarks/shadow_density.py); packing the live lanes
+    # lets the parked tail packets exit at the root instead of diluting
+    # every packet. Per-lane kernel results are packet-membership-
+    # invariant (a leaf visited only for packet-mates cannot produce an
+    # accepted hit for a lane whose slab+bound test failed — the same
+    # (1+tie_eps) band governs both), so renders are bitwise-identical;
+    # the compaction itself is one batched stable (L, R) lax.sort each
+    # way. "auto" enables it exactly where the walk is expensive enough
+    # to pay for the two sorts (wide trees, n_wide > 512 — the same
+    # signal as the every-iteration resort): staircase 8.17 -> 9.23
+    # Mrays/s; veach's cheap walk LOSES to the sort cost (22.3 -> 18.9),
+    # so small trees keep the plain dispatch.
+    shadow_compact: str = "auto"   # auto | on | off
     # wide-walk child push order: "preorder" pops in the binary walk's
     # order (results bitwise-equal to it); "near" sorts children by
     # box-center distance along the packet's MEAN direction (19-CE scalar
