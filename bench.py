@@ -163,10 +163,10 @@ def _grad_bench():
     key = jax.random.PRNGKey(0)
     out = {}
 
-    def one(tag, scene, cam, spp, fields, depth=8):
+    def one(tag, scene, cam, spp, fields, depth=8, leaf=32):
         try:
             cfg = RenderConfig(intersector="auto", max_depth=depth,
-                               leaf_size=32)
+                               leaf_size=leaf)
             target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
             params = SceneParams.init_from(scene, cam, *fields)
             fwd = jax.jit(lambda: render_diff(scene, cam, key, cfg, spp,
@@ -204,14 +204,17 @@ def _grad_bench():
         one("cornell_kd", scene, cam, 4, ("kd",))
         one("cornell_kd_vertex_eye", scene, cam, 4,
             ("kd", "vertex_offset", "eye"))
-        for name, spp in (("veach-mis", 2), ("staircase", 1)):
+        # per-scene leaf widths match the forward bench (staircase 16:
+        # the occlusion walk + live-lane shadow compaction both want the
+        # narrower leaves — fwd+bwd 1.78 -> 2.90 Mrays/s, round 5)
+        for name, spp, leaf in (("veach-mis", 2, 32), ("staircase", 1, 16)):
             s, c = load_scene(
                 f"{SCENES_DIR}/{name}/{name}.xml",
                 f"{SCENES_DIR}/{name}/{name}.obj",
                 f"{SCENES_DIR}/{name}/{name}.mtl",
-                f"{SCENES_DIR}/{name}", with_bvh=True, leaf_size=32,
+                f"{SCENES_DIR}/{name}", with_bvh=True, leaf_size=leaf,
             )
-            one(f"{name}_kd", s, c, spp, ("kd",))
+            one(f"{name}_kd", s, c, spp, ("kd",), leaf=leaf)
     except Exception as e:                          # pragma: no cover
         out["setup_error"] = str(e)[:200]
     return out

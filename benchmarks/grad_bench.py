@@ -24,8 +24,11 @@ def get_scene(name, leaf=32):
     return s, c
 
 def bench(name, spp, fields=("kd",), depth=8):
-    scene, cam = get_scene(name)
-    cfg = RenderConfig(intersector="auto", max_depth=depth, leaf_size=32)
+    # per-scene BVH leaf width, matching bench.py's forward picks
+    # (staircase 16 under the occlusion walk; GB_LEAF overrides)
+    leaf = int(os.environ.get("GB_LEAF", 16 if name == "staircase" else 32))
+    scene, cam = get_scene(name, leaf=leaf)
+    cfg = RenderConfig(intersector="auto", max_depth=depth, leaf_size=leaf)
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
     params = SceneParams.init_from(scene, cam, *fields)

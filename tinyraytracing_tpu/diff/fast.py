@@ -57,7 +57,11 @@ from tinyraytracing_tpu.integrator.fused import (
 )
 from tinyraytracing_tpu.models.camera import camera_basis
 from tinyraytracing_tpu.ops import vec
-from tinyraytracing_tpu.ops.pallas_trace import _INF, fused_trace_planes
+from tinyraytracing_tpu.ops.pallas_trace import (
+    _INF,
+    fused_trace_planes,
+    occlusion_trace_segmented,
+)
 from tinyraytracing_tpu.ops.rng import (
     bits_to_uniform,
     bounce_uniforms,
@@ -301,11 +305,13 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
             sh_tg = cat([jnp.where(okl, light_mtl_f[l], -2.0)
                          for l, (okl, _, _) in enumerate(pend)])
             if occl_q:
-                # round-5 ANY-HIT shadow walk (2 output planes; see
-                # ops/pallas_trace.py query="occlusion")
-                sbt, sseen = fused_trace_planes(
-                    scene, *sh_args, config, t_bound=sh_tb,
-                    target_mtl=sh_tg, query="occlusion",
+                # round-5 ANY-HIT shadow walk (2 output planes) with
+                # per-light live-lane compaction on walk-bound trees (see
+                # ops/pallas_trace.occlusion_trace_segmented); everything
+                # here is detached, so the compaction sorts never enter
+                # the differentiated graph
+                sbt, sseen = occlusion_trace_segmented(
+                    scene, *sh_args, sh_tb, sg(sh_tg), config, L,
                 )
             else:
                 st, _, _, _, _, _, smtl, _ = fused_trace_planes(

@@ -167,7 +167,10 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
     vertical = tuple(vertical[k] for k in range(3))
     llc = tuple(llc[k] for k in range(3))
 
-    from tinyraytracing_tpu.ops.pallas_trace import fused_trace_planes
+    from tinyraytracing_tpu.ops.pallas_trace import (
+        fused_trace_planes,
+        occlusion_trace_segmented,
+    )
 
     def camera_ray(path_id):
         pix = order[jnp.clip(path_id // spp, 0, n_pix - 1)]
@@ -373,8 +376,11 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
         elif occl_q:
             # round-5 ANY-HIT shadow walk: the pure occlusion query — the
             # slot loop answers only (killed, target-seen), the kernel
-            # writes 2 planes instead of 9 (ops/pallas_trace.py)
-            planes = [
+            # writes 2 planes instead of 9 — with per-light live-lane
+            # COMPACTION on walk-bound trees (ops/pallas_trace.
+            # occlusion_trace_segmented)
+            sbt, sseen = occlusion_trace_segmented(
+                scene,
                 cat([s[0] for s in sh_o]), cat([s[1] for s in sh_o]),
                 cat([s[2] for s in sh_o]),
                 cat([s[0] for s in sh_d]), cat([s[1] for s in sh_d]),
@@ -383,48 +389,8 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
                      for (okl, _, distl) in pend]),
                 cat([jnp.where(okl, light_mtl_f[l], -2.0)
                      for l, (okl, _, _) in enumerate(pend)]),
-            ]
-            compact = config.shadow_compact == "on" or (
-                config.shadow_compact == "auto" and n_wide > 512
+                config, L,
             )
-            if compact:
-                # SHADOW COMPACTION: pack live lanes (t_bound > 0) to the
-                # front of each light's R-lane segment with one batched
-                # stable (L, R) sort, so the parked tail fills whole
-                # packets that exit at the root instead of diluting every
-                # packet (~35-40% of lanes are parked — see
-                # config.shadow_compact). Stable => live lanes keep their
-                # morton-coherent order. Per-lane results are packet-
-                # membership-invariant, so after the inverse sort the
-                # outputs are bitwise what the uncompacted dispatch
-                # returns.
-                seg = lambda x: x.reshape(L, R)
-                dead = (seg(planes[6]) <= 0.0).astype(jnp.int32)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (L, R), 1)
-                srt = jax.lax.sort(
-                    (dead,) + tuple(seg(p) for p in planes) + (lane,),
-                    dimension=1, num_keys=1, is_stable=True,
-                )
-                flat = lambda a: a.reshape(L * R)
-                cbt, cseen = fused_trace_planes(
-                    scene, flat(srt[1]), flat(srt[2]), flat(srt[3]),
-                    flat(srt[4]), flat(srt[5]), flat(srt[6]),
-                    config, t_bound=flat(srt[7]), target_mtl=flat(srt[8]),
-                    query="occlusion",
-                )
-                # inverse permutation: lane ids are unique per segment
-                _, rbt, rseen = jax.lax.sort(
-                    (srt[9], seg(cbt), seg(cseen)),
-                    dimension=1, num_keys=1, is_stable=True,
-                )
-                sbt, sseen = flat(rbt), flat(rseen)
-            else:
-                sbt, sseen = fused_trace_planes(
-                    scene, planes[0], planes[1], planes[2],
-                    planes[3], planes[4], planes[5],
-                    config, t_bound=planes[6], target_mtl=planes[7],
-                    query="occlusion",
-                )
         else:
             st, _, _, _, _, _, smtl, _ = fused_trace_planes(
                 scene,

@@ -1187,3 +1187,61 @@ def fused_trace_planes(scene: Scene, ox, oy, oz, dx, dy, dz,
         -1.0,
     )
     return outs[:8] + (tri,)
+
+def occlusion_trace_segmented(scene: Scene, ox, oy, oz, dx, dy, dz,
+                              t_bound, target_mtl, config: RenderConfig,
+                              n_seg: int):
+    """Occlusion query over ``n_seg`` concatenated equal segments of
+    shadow lanes (one per light), with optional per-segment LIVE-LANE
+    COMPACTION (config.shadow_compact; fused_queue's shadow dispatch and
+    diff/fast's replay both use this).
+
+    ~35-40% of shadow lanes are zero-contribution parked (t_bound == 0 —
+    measured per scene in benchmarks/shadow_density.py). One batched
+    stable (n_seg, R) lax.sort packs live lanes to each segment's front
+    so the parked tail fills whole packets that exit at the root instead
+    of diluting every packet; an inverse sort restores lane order.
+    Per-lane kernel results are PACKET-MEMBERSHIP-INVARIANT — a leaf
+    visited only for packet-mates cannot produce an accepted hit for a
+    lane whose slab+bound test failed, because the same (1 + tie_eps)
+    band governs the slab prune and the slot accept — so the returned
+    planes are bitwise what the uncompacted dispatch returns
+    (tests/test_pallas_trace.py::test_fused_queue_shadow_compact_bitwise).
+
+    Compaction is gated to walk-bound trees ("auto": n_wide > 512, the
+    same signal as the every-iteration queue resort): staircase
+    8.17 -> 9.23 Mrays/s; veach's cheap walk loses to the two-sort cost
+    (22.3 -> 18.9 forced on), so small trees dispatch as-is.
+    """
+    pk = scene.bvh.packed if scene.bvh is not None else None
+    n_wide = pk.n_wide if pk is not None else 0
+    compact = config.shadow_compact == "on" or (
+        config.shadow_compact == "auto" and n_wide > 512
+    )
+    if not compact or n_seg * 128 > ox.shape[0]:
+        return fused_trace_planes(
+            scene, ox, oy, oz, dx, dy, dz, config,
+            t_bound=t_bound, target_mtl=target_mtl, query="occlusion",
+        )
+    R = ox.shape[0] // n_seg
+    seg = lambda x: x.reshape(n_seg, R)
+    dead = (seg(t_bound) <= 0.0).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_seg, R), 1)
+    srt = jax.lax.sort(
+        (dead, seg(ox), seg(oy), seg(oz), seg(dx), seg(dy), seg(dz),
+         seg(t_bound), seg(target_mtl), lane),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+    flat = lambda a: a.reshape(n_seg * R)
+    cbt, cseen = fused_trace_planes(
+        scene, flat(srt[1]), flat(srt[2]), flat(srt[3]),
+        flat(srt[4]), flat(srt[5]), flat(srt[6]),
+        config, t_bound=flat(srt[7]), target_mtl=flat(srt[8]),
+        query="occlusion",
+    )
+    # inverse permutation: lane ids are unique per segment
+    _, rbt, rseen = jax.lax.sort(
+        (srt[9], seg(cbt), seg(cseen)), dimension=1, num_keys=1,
+        is_stable=True,
+    )
+    return flat(rbt), flat(rseen)
