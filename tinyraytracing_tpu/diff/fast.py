@@ -310,7 +310,7 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
                 # ops/pallas_trace.occlusion_trace_segmented); everything
                 # here is detached, so the compaction sorts never enter
                 # the differentiated graph
-                sbt, sseen = occlusion_trace_segmented(
+                svis = occlusion_trace_segmented(
                     scene, *sh_args, sh_tb, sg(sh_tg), config, L,
                 )
             else:
@@ -321,7 +321,7 @@ def render_diff(scene, cam, key, config: RenderConfig, spp: int,
             for l, (okl, contrib, distl) in enumerate(pend):
                 sl = slice(l * R, (l + 1) * R)
                 if occl_q:
-                    vis = (sseen[sl] > 0.5) & (sbt[sl] >= 0.0)
+                    vis = svis[sl] > 0.5
                 else:
                     occ = (smtl[sl] == -3.0) | (
                         (smtl[sl] >= 0.0) & (st[sl] < sg(distl) - 1e-3)

@@ -367,19 +367,19 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
         # bound 0 parks the rest outright
         occl_q = config.shadow_test == "mtl"
         if not pend:
-            st = smtl = sbt = sseen = None
+            st = smtl = svis = None
         elif "shadow" in _ABLATE:
             st = cat([jnp.where(okl, distl, 0.0) for (okl, _, distl) in pend])
             smtl = cat([jnp.broadcast_to(light_mtl_f[l], (R,))
                         for l in range(L)])
-            sbt, sseen = st, jnp.ones((L * R,), jnp.float32)
+            svis = jnp.ones((L * R,), jnp.float32)
         elif occl_q:
             # round-5 ANY-HIT shadow walk: the pure occlusion query — the
             # slot loop answers only (killed, target-seen), the kernel
             # writes 2 planes instead of 9 — with per-light live-lane
             # COMPACTION on walk-bound trees (ops/pallas_trace.
             # occlusion_trace_segmented)
-            sbt, sseen = occlusion_trace_segmented(
+            svis = occlusion_trace_segmented(
                 scene,
                 cat([s[0] for s in sh_o]), cat([s[1] for s in sh_o]),
                 cat([s[2] for s in sh_o]),
@@ -412,7 +412,7 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
             if occl_q:
                 # reference visibility (pathTracing.cpp:55-58) decomposed:
                 # some target-material hit at the bound AND not occluded
-                vis = (sseen[sl] > 0.5) & (sbt[sl] >= 0.0)
+                vis = svis[sl] > 0.5
             else:
                 occ = (smtl[sl] == -3.0) | (
                     (smtl[sl] >= 0.0) & (st[sl] < distl - 1e-3)

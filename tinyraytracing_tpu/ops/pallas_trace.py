@@ -1194,19 +1194,26 @@ def occlusion_trace_segmented(scene: Scene, ox, oy, oz, dx, dy, dz,
     """Occlusion query over ``n_seg`` concatenated equal segments of
     shadow lanes (one per light), with optional per-segment LIVE-LANE
     COMPACTION (config.shadow_compact; fused_queue's shadow dispatch and
-    diff/fast's replay both use this).
+    diff/fast's replay both use this). Returns ONE (n_seg * R,) f32
+    VISIBILITY plane: 1.0 where some target-material hit exists within
+    the tie band of the bound and no wrong-material hit strictly inside
+    it occluded the lane (the reference's material-equality visibility,
+    pathTracing.cpp:55-58) — parked lanes (t_bound == 0) report 0.
 
-    ~35-40% of shadow lanes are zero-contribution parked (t_bound == 0 —
-    measured per scene in benchmarks/shadow_density.py). One batched
-    stable (n_seg, R) lax.sort packs live lanes to each segment's front
-    so the parked tail fills whole packets that exit at the root instead
-    of diluting every packet; an inverse sort restores lane order.
+    ~35-40% of shadow lanes are zero-contribution parked (measured per
+    scene in benchmarks/shadow_density.py). One batched stable
+    (n_seg, R) lax.sort packs live lanes to each segment's front so the
+    parked tail fills whole packets that exit at the root instead of
+    diluting every packet; an inverse sort restores lane order.
     Per-lane kernel results are PACKET-MEMBERSHIP-INVARIANT — a leaf
     visited only for packet-mates cannot produce an accepted hit for a
     lane whose slab+bound test failed, because the same (1 + tie_eps)
     band governs the slab prune and the slot accept — so the returned
-    planes are bitwise what the uncompacted dispatch returns
+    visibility is bitwise the uncompacted dispatch's
     (tests/test_pallas_trace.py::test_fused_queue_shadow_compact_bitwise).
+    target_mtl is NOT sorted: within a segment every live lane shares
+    the segment's light material, so it is re-broadcast from the sorted
+    bound instead (parked lanes never test material).
 
     Compaction is gated to walk-bound trees ("auto": n_wide > 512, the
     same signal as the every-iteration queue resort): staircase
@@ -1218,30 +1225,40 @@ def occlusion_trace_segmented(scene: Scene, ox, oy, oz, dx, dy, dz,
     compact = config.shadow_compact == "on" or (
         config.shadow_compact == "auto" and n_wide > 512
     )
+    vis = lambda bt, seen: ((seen > 0.5) & (bt >= 0.0)).astype(jnp.float32)
     if not compact or n_seg * 128 > ox.shape[0]:
-        return fused_trace_planes(
+        bt, seen = fused_trace_planes(
             scene, ox, oy, oz, dx, dy, dz, config,
             t_bound=t_bound, target_mtl=target_mtl, query="occlusion",
         )
+        return vis(bt, seen)
     R = ox.shape[0] // n_seg
     seg = lambda x: x.reshape(n_seg, R)
     dead = (seg(t_bound) <= 0.0).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_seg, R), 1)
     srt = jax.lax.sort(
         (dead, seg(ox), seg(oy), seg(oz), seg(dx), seg(dy), seg(dz),
-         seg(t_bound), seg(target_mtl), lane),
+         seg(t_bound), lane),
         dimension=1, num_keys=1, is_stable=True,
     )
+    # per-segment target material, re-broadcast onto the live prefix
+    # (live lanes of a segment all target the same light; -inf when the
+    # whole segment is parked, in which case no lane reads it)
+    seg_tg = jnp.max(
+        jnp.where(seg(t_bound) > 0.0, seg(target_mtl), -jnp.inf),
+        axis=1, keepdims=True,
+    )
+    ctg = jnp.where(srt[7] > 0.0, seg_tg, -2.0)
     flat = lambda a: a.reshape(n_seg * R)
     cbt, cseen = fused_trace_planes(
         scene, flat(srt[1]), flat(srt[2]), flat(srt[3]),
         flat(srt[4]), flat(srt[5]), flat(srt[6]),
-        config, t_bound=flat(srt[7]), target_mtl=flat(srt[8]),
+        config, t_bound=flat(srt[7]), target_mtl=flat(ctg),
         query="occlusion",
     )
     # inverse permutation: lane ids are unique per segment
-    _, rbt, rseen = jax.lax.sort(
-        (srt[9], seg(cbt), seg(cseen)), dimension=1, num_keys=1,
+    _, rvis = jax.lax.sort(
+        (srt[8], seg(vis(cbt, cseen))), dimension=1, num_keys=1,
         is_stable=True,
     )
-    return flat(rbt), flat(rseen)
+    return flat(rvis)
