@@ -87,6 +87,7 @@ from tinyraytracing_tpu.ops.rng import (
     path_keys,
 )
 from tinyraytracing_tpu.ops.scan import prefix_sum_lanes
+from tinyraytracing_tpu.ops.sort import sort_planes_by
 
 _INF = jnp.float32(3.0e38)
 
@@ -255,21 +256,27 @@ def _queue_setup(scene, cam, key, config, spp, lanes, path_lo, n_paths,
                 else:
                     key_ = path_id
                 key_ = jnp.where(active, key_, jnp.int32(2**31 - 1))
-                # ONE multi-operand stable sort moves every state plane
-                # with the key — argsort + 18 permutation gathers measured
-                # ~22 ms per resort at 131K lanes on v5e (random-index
-                # gathers are ~1.3 ms each), the same permutation as
-                # sort payloads ~1 ms total. Order identical to the old
-                # stable argsort (ties keep lane order).
-                planes = (key_, active, path_id, pix, bounce,
-                          o[0], o[1], o[2], d[0], d[1], d[2], ray_type,
-                          thr[0], thr[1], thr[2], rad[0], rad[1], rad[2],
-                          pkd[0], pkd[1], ray_count)
-                s = jax.lax.sort(planes, dimension=0, is_stable=True,
-                                 num_keys=1)
-                return (s[1], s[2], s[3], s[4], (s[5], s[6], s[7]),
-                        (s[8], s[9], s[10]), s[11], (s[12], s[13], s[14]),
-                        (s[15], s[16], s[17]), (s[18], s[19]), s[20])
+                # ONE BROADCAST-KEY stable sort moves every state plane
+                # with the key: payloads are stacked into a (C, R) f32
+                # matrix (non-f32 planes bitcast — payload operands are
+                # never compared, only moved) and the key row-broadcast,
+                # so each row sorts by identical keys and stability gives
+                # every row the SAME permutation — the stable-argsort
+                # order. vs the alternatives measured on v5e @131K lanes:
+                # argsort + 18 per-plane gathers ~22 ms/resort; a 21-
+                # OPERAND variadic sort runs in ~0.8 ms but its comparator
+                # codegen costs ~8 s of XLA compile PER OPERAND (255 s
+                # total — the round-5 cold-compile cliff); the broadcast-
+                # key form compiles in ~9 s and runs ~1 ms.
+                s = sort_planes_by(key_, (
+                    active, path_id, pix, bounce,
+                    o[0], o[1], o[2], d[0], d[1], d[2], ray_type,
+                    thr[0], thr[1], thr[2], rad[0], rad[1], rad[2],
+                    pkd[0], pkd[1], ray_count,
+                ))
+                return (s[0], s[1], s[2], s[3], (s[4], s[5], s[6]),
+                        (s[7], s[8], s[9]), s[10], (s[11], s[12], s[13]),
+                        (s[14], s[15], s[16]), (s[17], s[18]), s[19])
 
             args = (active, path_id, pix, bounce, o, d, ray_type, thr,
                     rad, pkd, ray_count)

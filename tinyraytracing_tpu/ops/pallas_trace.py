@@ -215,6 +215,7 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
         # kernel outputs (2 vs 9), not the slot arithmetic.
         bt, bs, bem = carry
         ox, oy, oz, dx, dy, dz, tg = rays
+        tga = tg > -1.5    # per-lane constant: hoisted out of the slot loop
         for s in range(lo, hi):
             g = lambda a: ga(a, s)
             h = lambda a: ha(a, s)
@@ -245,15 +246,16 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
                 & (u + v <= 1.0)
             )
             tm = jnp.where(ok, t, _INF)
+            tme = tm * (1.0 + tie_eps)   # shared by near + kill, bitwise same
             near = (
                 (tm <= bt * (1.0 + tie_eps))
-                & (bt <= tm * (1.0 + tie_eps))
+                & (bt <= tme)
                 & (tm < _INF)
             )
             repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
             mt_slot = h(15)
             wrong = jnp.abs(mt_slot - tg) > 0.5
-            kill = (tg > -1.5) & (tm * (1.0 + tie_eps) < bt) & wrong
+            kill = tga & (tme < bt) & wrong
             bt = jnp.where(kill, -1.0, jnp.where(repl, tm, bt))
             bs = jnp.where(
                 kill, 0.0,
@@ -267,6 +269,7 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
             return run_slots_occl(carry, lo, hi)
         bt, bpnx, bpny, bpnz, btcu, btcv, bmtl, bem, bslot = carry
         ox, oy, oz, dx, dy, dz, tg = rays
+        tga = tg > -1.5    # per-lane constant: hoisted out of the slot loop
         for s in range(lo, hi):
             g = lambda a: ga(a, s)
             h = lambda a: ha(a, s)
@@ -297,9 +300,10 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
                 & (u + v <= 1.0)
             )
             tm = jnp.where(ok, t, _INF)
+            tme = tm * (1.0 + tie_eps)   # shared by near + kill
             near = (
                 (tm <= bt * (1.0 + tie_eps))
-                & (bt <= tm * (1.0 + tie_eps))
+                & (bt <= tme)
                 & (tm < _INF)
             )
             repl = (~near & (tm < bt)) | (near & (em > 0.5) & (bem < 0.5))
@@ -311,8 +315,8 @@ def _leaf_slots(leaf, carry, rays, leaf_loader, *, L, t_min, graze, tie_eps,
             # tie-break must still find the light.
             mt_slot = h(15)
             kill = (
-                (tg > -1.5)
-                & (tm * (1.0 + tie_eps) < bt)
+                tga
+                & (tme < bt)
                 & (jnp.abs(mt_slot - tg) > 0.5)
             )
 
@@ -1232,14 +1236,17 @@ def occlusion_trace_segmented(scene: Scene, ox, oy, oz, dx, dy, dz,
             t_bound=t_bound, target_mtl=target_mtl, query="occlusion",
         )
         return vis(bt, seen)
+    from tinyraytracing_tpu.ops.sort import sort_planes_by
+
     R = ox.shape[0] // n_seg
     seg = lambda x: x.reshape(n_seg, R)
     dead = (seg(t_bound) <= 0.0).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_seg, R), 1)
-    srt = jax.lax.sort(
-        (dead, seg(ox), seg(oy), seg(oz), seg(dx), seg(dy), seg(dz),
+    srt = sort_planes_by(
+        dead,
+        (seg(ox), seg(oy), seg(oz), seg(dx), seg(dy), seg(dz),
          seg(t_bound), lane),
-        dimension=1, num_keys=1, is_stable=True,
+        axis=1,
     )
     # per-segment target material, re-broadcast onto the live prefix
     # (live lanes of a segment all target the same light; -inf when the
@@ -1248,17 +1255,18 @@ def occlusion_trace_segmented(scene: Scene, ox, oy, oz, dx, dy, dz,
         jnp.where(seg(t_bound) > 0.0, seg(target_mtl), -jnp.inf),
         axis=1, keepdims=True,
     )
-    ctg = jnp.where(srt[7] > 0.0, seg_tg, -2.0)
+    ctg = jnp.where(srt[6] > 0.0, seg_tg, -2.0)
     flat = lambda a: a.reshape(n_seg * R)
     cbt, cseen = fused_trace_planes(
-        scene, flat(srt[1]), flat(srt[2]), flat(srt[3]),
-        flat(srt[4]), flat(srt[5]), flat(srt[6]),
-        config, t_bound=flat(srt[7]), target_mtl=flat(ctg),
+        scene, flat(srt[0]), flat(srt[1]), flat(srt[2]),
+        flat(srt[3]), flat(srt[4]), flat(srt[5]),
+        config, t_bound=flat(srt[6]), target_mtl=flat(ctg),
         query="occlusion",
     )
-    # inverse permutation: lane ids are unique per segment
+    # inverse permutation: lane ids are unique per segment, so sorting by
+    # them restores original order exactly (2 operands — no packing)
     _, rvis = jax.lax.sort(
-        (srt[8], seg(vis(cbt, cseen))), dimension=1, num_keys=1,
+        (srt[7], seg(vis(cbt, cseen))), dimension=1, num_keys=1,
         is_stable=True,
     )
     return flat(rvis)
